@@ -1,0 +1,105 @@
+"""Stage-3 transitive clustering: iterative hash-min connected components.
+
+The reference computes transitive closure with
+scipy.sparse.csgraph.connected_components after zeroing weak edges
+(src/local_embedding/local_embedding.py:337-342, src/cluster_pred/
+cluster_predict.py:284-287). That is a single-machine dense operation; the
+distributed equivalent (north_rule stage 3) is the hash-min fixpoint:
+
+    label(v) ← min(label(v), min over neighbours u of label(u))
+
+repeated until no label changes. Each iteration is one join + one
+min-aggregate; lineage is cut every iteration via localCheckpoint (or a
+parquet checkpoint dir for kill-resumability), and a per-iteration metrics
+row (labels changed, components remaining) is collected — the north_rule's
+"components merged per iteration" lineage metric.
+
+Labels are the row-id strings themselves (min = lexicographic), so the
+final component id is the smallest member id — deterministic, collision-free,
+and directly joinable back to the labels table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CCResult:
+    labels: DataFrame          # (id, component)
+    iterations: int
+    metrics: list[dict] = field(default_factory=list)  # per-iteration rows
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+    checkpointer=None,
+) -> CCResult:
+    """Hash-min CC over an undirected edge table.
+
+    vertices: one row per id (isolated vertices become singletons).
+    edges: unordered pairs; symmetrized internally.
+    checkpointer: optional plans.checkpoint.CheckpointManager — when given,
+    each iteration's label table is persisted (resume = continue from the
+    last completed iteration).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    sym.persist()
+
+    start_iter = 0
+    labels = None
+    if checkpointer is not None:
+        labels, start_iter = checkpointer.latest_iteration("cc_labels")
+    if labels is None:
+        labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+        labels = labels.localCheckpoint()
+
+    metrics: list[dict] = []
+    it = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
+        # candidate labels flowing along edges
+        msgs = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        )
+        # coalesce the agg itself too: sum over zero rows is NULL
+        changed = new_labels.agg(
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_changed").cast("long"), F.lit(0))), F.lit(0)
+            ).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.drop("_changed")
+        if checkpointer is not None:
+            labels = checkpointer.write_iteration("cc_labels", it, labels)
+        else:
+            labels = labels.localCheckpoint()
+        n_components = labels.select("component").distinct().count()
+        metrics.append({"iteration": it, "labels_changed": int(changed), "components": int(n_components)})
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return CCResult(labels=labels, iterations=it, metrics=metrics)

@@ -1,0 +1,118 @@
+"""MinHash / LSH banding and SimHash — deterministic, JVM-side column math.
+
+The reference brute-forces O(n²) text Jaccard inside each block
+(src/pre_data/generate_adj.py:106-126); at 10¹²-file scale the blocking
+key alone cannot bound pair counts, so MinHash band keys become part of
+the composite blocking key (north_rule stage 1, SURVEY §4 item 3).
+
+Everything is xxhash64-based: per-permutation hash h_i(t) =
+xxhash64(seed_i, t); signature[i] = min over tokens. No RNG state — the
+same row always produces the same signature regardless of partitioning
+(SURVEY §7.4 determinism risk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minhash_signature(tokens: Column, num_hashes: int = 64) -> Column:
+    """array<bigint> of length num_hashes; null-safe (empty → nulls)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(tokens, lambda t, i=i: F.xxhash64(F.lit(i), t)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(sig: Column, bands: int, rows: int, prefix: Column | None = None) -> list[Column]:
+    """One hashed key per band; pairs agreeing on ≥1 band are candidates.
+
+    With b bands of r rows, P(candidate) = 1-(1-s^r)^b for Jaccard s —
+    b=16,r=4 puts the S-curve threshold near s≈0.5.
+    """
+    keys = []
+    for i in range(bands):
+        chunk = F.slice(sig, i * rows + 1, rows)
+        k = F.xxhash64(F.lit(i), F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string"))))
+        if prefix is not None:
+            k = F.concat_ws("|", prefix, F.lit(str(i)), k.cast("string"))
+        else:
+            k = F.concat_ws("|", F.lit(str(i)), k.cast("string"))
+        keys.append(k)
+    return keys
+
+
+def with_band_columns(
+    df: DataFrame,
+    tokens_col: str,
+    bands: int = 16,
+    rows: int = 4,
+    prefix_col: str | None = None,
+    out_prefix: str = "band_",
+) -> DataFrame:
+    """Attach band_0..band_{b-1} string key columns (composite with prefix,
+    e.g. lang, so banding never crosses a language boundary)."""
+    sig = minhash_signature(F.col(tokens_col), bands * rows)
+    df = df.withColumn("_sig", sig)
+    prefix = F.col(prefix_col) if prefix_col else None
+    for i, k in enumerate(band_keys(F.col("_sig"), bands, rows, prefix)):
+        df = df.withColumn(f"{out_prefix}{i}", k)
+    return df.drop("_sig")
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array as bigint.
+
+    Bit b of the result = sign of Σ_tokens (2·bit_b(xxhash64(t)) − 1).
+    Pure aggregate/zip_with — no Python, no RNG.
+    """
+    bitvotes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1,
+            ),
+            lambda x, y: x + y.cast("long"),
+        ),
+    )
+    # fold sign bits into a single bigint: Σ (vote>0) << b
+    return F.aggregate(
+        F.zip_with(
+            bitvotes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two bigint SimHashes (popcount of xor)."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.shiftright(x, i).bitwiseAND(F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_chunks(sim: Column, chunks: int = 4) -> list[Column]:
+    """Split a 64-bit SimHash into equal chunks for candidate generation:
+    two docs within hamming distance < chunks must agree on ≥1 chunk
+    (pigeonhole), so each chunk value is a blocking key."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    return [
+        F.shiftright(sim, i * width).bitwiseAND(F.lit(mask)).alias(f"chunk_{i}")
+        for i in range(chunks)
+    ]

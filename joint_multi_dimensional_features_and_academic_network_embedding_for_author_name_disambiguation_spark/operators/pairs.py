@@ -1,0 +1,121 @@
+"""Blocked candidate-pair generation (J4) with explicit skew splitting.
+
+The reference generates pairs with a nested Python loop inside one
+ambiguous-name block (src/pre_data/generate_adj.py:86-116,
+src/utils/utils.py:219-252). Here the same semantics are a blocked
+self-join `a ⋈ b ON block_key WHERE a.id < b.id` — but a naive self-join
+melts down on hot blocks (the reference's worst block is 3228 mentions ≈
+5.2M pairs; a 10⁶-row block at 100 TB scale would be 5·10¹¹ pairs *in one
+shuffle partition*). AQE skew-join splits shuffle partitions but cannot
+split the O(n²) pair explosion itself, so we do it algorithmically:
+
+  1. pre-pass `groupBy(block).count()` estimates pair counts (SURVEY §4
+     "custom work" item 2);
+  2. blocks over ``max_rows_per_task`` are divided into s deterministic
+     buckets (xxhash64(id) mod s, no RNG);
+  3. a broadcast combo table of the s·(s+1)/2 bucket pairs replicates the
+     join so every bucket pair is its own shuffle key → a hot block's
+     pairs are produced by many independent tasks.
+
+All pairs are still produced exactly once (i<j on the id string dedups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_pairs(
+    members: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "id",
+    max_rows_per_task: int = 2000,
+) -> DataFrame:
+    """All unordered within-block pairs: (block_key, id_a, id_b, + payload).
+
+    ``members`` must have one row per (block_key, id); every other column
+    is carried as ``<col>_a`` / ``<col>_b`` payload for the scorer.
+    """
+    payload = [c for c in members.columns if c not in (block_col, id_col)]
+
+    counts = members.groupBy(block_col).agg(F.count("*").alias("_n"))
+    counts = counts.withColumn(
+        "_splits",
+        F.ceil(F.col("_n").cast("double") / F.lit(max_rows_per_task)).cast("int"),
+    )
+    # combo table: for each block, ALL ordered (i, j) bucket pairs. The
+    # global `id_a < id_b` filter then keeps each unordered pair exactly
+    # once — under the combo matching its (bucket(a), bucket(b)) — so no
+    # pair is lost when the smaller id lives in the larger bucket.
+    combos = counts.select(
+        block_col,
+        "_splits",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_splits") - 1),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(0), F.col("_splits") - 1),
+                        lambda j: F.struct(i.alias("bi"), j.alias("bj")),
+                    ),
+                )
+            )
+        ).alias("_c"),
+    ).select(block_col, "_splits", F.col("_c.bi").alias("_bi"), F.col("_c.bj").alias("_bj"))
+
+    bucketed = members.join(F.broadcast(counts.select(block_col, "_splits")), block_col).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.col("_splits")).cast("int")
+    )
+
+    a = bucketed.select(
+        F.col(block_col),
+        F.col("_bucket").alias("_bi"),
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+    )
+    b = bucketed.select(
+        F.col(block_col),
+        F.col("_bucket").alias("_bj"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+    )
+    tasks = F.broadcast(combos.select(block_col, "_bi", "_bj"))
+    pairs = (
+        a.join(tasks, [block_col, "_bi"])
+        .join(b, [block_col, "_bj"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("_bi", "_bj")
+    )
+    return pairs
+
+
+def multi_key_pairs(
+    members: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    max_rows_per_task: int = 2000,
+) -> DataFrame:
+    """Pairs under several blocking-key columns, deduplicated.
+
+    Used for MinHash banding: each band key is its own blocking key
+    (north_rule stage 1 — banding keys are part of the composite key);
+    a pair found under any key is emitted once, tagged with the first
+    (lexicographically least) key that produced it.
+    """
+    payload = [c for c in members.columns if c not in key_cols and c != id_col]
+    unions = None
+    for k in key_cols:
+        m = members.where(F.col(k).isNotNull()).select(
+            F.col(k).alias("block_key"), F.col(id_col), *[F.col(c) for c in payload]
+        )
+        p = blocked_pairs(m, "block_key", id_col, max_rows_per_task)
+        unions = p if unions is None else unions.unionByName(p)
+    return unions.groupBy("id_a", "id_b").agg(
+        F.min("block_key").alias("block_key"),
+        *[
+            F.first(c).alias(c)
+            for c in unions.columns
+            if c not in ("id_a", "id_b", "block_key")
+        ],
+    )

@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference is single-process pandas (see SURVEY.md §4); here every knob
+that matters at 100 TB is set explicitly so the same code runs unchanged on
+local[N] and on a multi-executor cluster via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "jmdfane-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster it is supplied by spark-submit and must be left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_GRAFT_SUBMITTED"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        # Default: 2× parallelism locally; a real cluster overrides via
+        # spark-submit --conf (AQE coalesces down at runtime anyway).
+        try:
+            n = int(master.split("[")[1].rstrip("]")) if master and "[" in master else 32
+        except ValueError:
+            n = 32
+        shuffle_partitions = max(8, 2 * n)
+
+    conf = {
+        # Classic (non-ANSI) SQL semantics: silent overflow wrap + null-on-
+        # bad-cast, matching the reference's numpy behaviour and keeping
+        # hash-based signatures (xxhash64 arithmetic) well-defined.
+        "spark.sql.ansi.enabled": "false",
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Arrow for every pandas UDF / toPandas hop.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Broadcast threshold: dimension tables (vocab, block stats, salt
+        # maps) are small; 64 MB keeps them map-side at 100 TB fact scale.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Parquet scans: pushdown + pruning are on by default; pin anyway.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # Quiet local UI.
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,121 @@
+"""Unit tests: pair generation (incl. skew split), CC, metrics, similarity."""
+
+import itertools
+import math
+
+import pyspark.sql.functions as F
+
+from jmdfane_spark.functions import similarity as S
+from jmdfane_spark.functions import text as T
+from jmdfane_spark.operators.connected_components import connected_components
+from jmdfane_spark.operators.evaluate import pairwise_f1
+from jmdfane_spark.operators.pairs import blocked_pairs
+
+
+def test_blocked_pairs_complete_and_skew_split_equal(spark):
+    rows = [(f"b{i % 3}", f"id{i:03d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "block_key string, id string")
+    naive = blocked_pairs(df, max_rows_per_task=1000)
+    split = blocked_pairs(df, max_rows_per_task=5)  # forces multi-bucket path
+    want = set()
+    for b in ("b0", "b1", "b2"):
+        ids = sorted(r for bk, r in rows if bk == b)
+        want |= {(b, a, c) for a, c in itertools.combinations(ids, 2)}
+    got_naive = {(r.block_key, r.id_a, r.id_b) for r in naive.collect()}
+    got_split = {(r.block_key, r.id_a, r.id_b) for r in split.collect()}
+    assert got_naive == want
+    assert got_split == want
+
+
+def test_connected_components_vs_unionfind(spark):
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f2"), ("c", "a"), ("g", "h"), ("h", "i"), ("i", "j")]
+    verts = sorted({v for e in edges for v in e} | {"lonely"})
+    vdf = spark.createDataFrame([(v,) for v in verts], "id string")
+    edf = spark.createDataFrame(edges, "id_a string, id_b string")
+    res = connected_components(vdf, edf)
+    got = {r.id: r.component for r in res.labels.collect()}
+
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in verts}
+    # same partition (component ids = min member in both)
+    assert got == want
+    assert res.metrics[-1]["labels_changed"] == 0
+
+
+def test_pairwise_f1_matches_reference_loop(spark):
+    # brute-force the reference's O(n²) counting (utils.py:63-94) and compare
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for b in range(3):
+        n = rng.randint(5, 15)
+        for i in range(n):
+            rows.append((f"blk{b}", f"{b}:{i}", f"p{rng.randint(0, 3)}", f"t{rng.randint(0, 3)}"))
+    df = spark.createDataFrame(rows, "block_key string, id string, component string, cluster_id string")
+    m = pairwise_f1(df.select("id", "component"), df.select("block_key", "id", "cluster_id"))
+
+    f1s = []
+    tp = fp = fn = 0
+    for b in {r[0] for r in rows}:
+        blk = [r for r in rows if r[0] == b]
+        btp = bfp = bfn = 0
+        for (_, _, p1, t1), (_, _, p2, t2) in itertools.combinations(blk, 2):
+            if p1 == p2 and t1 == t2:
+                btp += 1
+            elif p1 == p2:
+                bfp += 1
+            elif t1 == t2:
+                bfn += 1
+        tp, fp, fn = tp + btp, fp + bfp, fn + bfn
+        prec = btp / (btp + bfp) if btp + bfp else 0.0
+        rec = btp / (btp + bfn) if btp + bfn else 0.0
+        f1s.append(2 * prec * rec / (prec + rec) if prec and rec else 0.0)
+    assert abs(m["macro_f1"] - sum(f1s) / len(f1s)) < 1e-9
+    mp = tp / (tp + fp) if tp + fp else 0.0
+    mr = tp / (tp + fn) if tp + fn else 0.0
+    want_micro = 2 * mp * mr / (mp + mr) if mp and mr else 0.0
+    assert abs(m["micro_f1"] - want_micro) < 1e-9
+
+
+def test_similarity_functions(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"], "kitten", "sitting", [1.0, 2.0, 3.0], [3.0, 2.0, 1.0])],
+        "ta array<string>, tb array<string>, sa string, sb string, va array<double>, vb array<double>",
+    )
+    r = df.select(
+        S.jaccard(F.col("ta"), F.col("tb")).alias("j"),
+        S.tanimoto(F.col("ta"), F.col("tb")).alias("t"),
+        S.levenshtein_ratio(F.col("sa"), F.col("sb")).alias("l"),
+        S.cosine(F.col("va"), F.col("vb")).alias("c"),
+        S.containment(F.col("ta"), F.col("tb")).alias("cn"),
+    ).first()
+    assert abs(r.j - 2 / 4) < 1e-9
+    assert abs(r.t - 2 / 4) < 1e-9
+    assert abs(r.l - (1 - 3 / 7)) < 1e-9
+    want_cos = (3 + 4 + 3) / (math.sqrt(14) * math.sqrt(14))
+    assert abs(r.c - want_cos) < 1e-9
+    assert abs(r.cn - 2 / 3) < 1e-9
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("Hello, WORLD! the a of 42 xx",)], "t string")
+    r = df.select(
+        T.tokenize(F.col("t")).alias("toks"),
+        T.token_count(F.col("t")).alias("n"),
+        T.path_stem(F.lit("src/Parse_Config_v2.PY")).alias("stem"),
+    ).first()
+    assert r.toks == ["hello", "world", "42", "xx"]
+    assert r.n == 7
+    assert r.stem == "parseconfig"
