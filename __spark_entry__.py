@@ -1,38 +1,786 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship entity-resolution pipeline on sf0.001.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators); `oracle_sql()`
+gives the DuckDB-equivalent ANSI SQL over the same parquet views.
+
+Float discipline: every floating-point output column is rounded
+identically on both sides (round-6 for similarities, decimal casts for
+money sums) so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from jmdfane_spark.functions import similarity as S  # noqa: E402
+from jmdfane_spark.operators import dedup as D  # noqa: E402
+from jmdfane_spark.operators import similarity_search as NN  # noqa: E402
+from jmdfane_spark.operators.connected_components import connected_components  # noqa: E402
+from jmdfane_spark.operators.evaluate import pairwise_confusion  # noqa: E402
+from jmdfane_spark.operators.pairs import blocked_pairs  # noqa: E402
+from jmdfane_spark.plans.pipeline import run_pipeline  # noqa: E402
+from jmdfane_spark.sources.tables import documents_as_files, load_table  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# shared token expressions — MUST stay in lockstep with the SQL fragments
+def _tokens(col):  # distinct normalized tokens
+    return F.array_distinct(
+        F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "),
+            lambda x: F.length(x) > 0,
+        )
+    )
+
+
+def _toks_seq(col):  # token sequence (with duplicates), for shingles
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def _shingles3(col):
+    t = _toks_seq(col)
+    n = F.size(t)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    return F.when(n >= 3, F.array_distinct(tri)).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+# same fragments in DuckDB dialect
+SQL_TOKS = "list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0))"
+SQL_TOKS_SEQ = "list_filter(string_split_regex(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0)"
+
+# tokenize()-equivalent (min_len ≥ 2 + stopword removal, order-preserving)
+from jmdfane_spark.functions.text import STOPWORDS as _SW  # noqa: E402
+
+_SW_SQL = "[" + ",".join(f"'{s}'" for s in _SW) + "]"
+SQL_TOKS_CLEAN_SEQ = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "x -> len(x) >= 2 and not list_contains(" + _SW_SQL + ", x))"
+)
+
+
+def SQL_SHINGLES3_CLEAN(c: str) -> str:
+    t = SQL_TOKS_CLEAN_SEQ.format(c=c)
+    return (
+        f"(case when len({t}) >= 3 then list_distinct(list_transform(range(1, len({t})-1), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+        f"else [array_to_string({t}, ' ')] end)"
+    )
+
+
+def SQL_SHINGLES3_FROM_COL(t: str) -> str:
+    """Shingles from an already-materialized token-list COLUMN — inside a
+    lambda a full token expression would re-evaluate per element."""
+    return (
+        f"(case when len({t}) >= 3 then list_distinct(list_transform(range(1, len({t})-1), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+        f"else [array_to_string({t}, ' ')] end)"
+    )
+
+
+def SQL_SHINGLES3(c: str) -> str:
+    t = SQL_TOKS_SEQ.format(c=c)
+    return (
+        f"(case when len({t}) >= 3 then list_distinct(list_transform(range(1, len({t})-1), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+        f"else [array_to_string({t}, ' ')] end)"
+    )
+
+
+def SQL_JACCARD_RAW(a: str, b: str) -> str:
+    return (
+        f"(case when len(list_distinct(list_concat({a}, {b}))) > 0 then "
+        f"len(list_intersect({a}, {b}))::double / len(list_distinct(list_concat({a}, {b}))) "
+        f"else 0.0 end)"
+    )
+
+
+def SQL_JACCARD(a: str, b: str) -> str:
+    return f"round({SQL_JACCARD_RAW(a, b)}, 6)"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-stage ER pipeline on the sf0.001 documents table."""
+    files = documents_as_files(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, files, threshold=0.80, use_bands=False, use_tfidf=True)
+    return res.labels.select("block_key", "id", "component")
+
+
+# ---------------------------------------------------------------------------
+# queries — each with a matching oracle_sql entry unless noted
+# ---------------------------------------------------------------------------
+
+def q_er_pipeline_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking (lang) → token-Jaccard scoring → threshold 0.95 → hash-min CC.
+
+    The driver-checkable core of the flagship pipeline; the DuckDB oracle
+    computes the identical transitive closure with a recursive CTE.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id"), F.col("lang").alias("block_key"), _tokens(F.col("text")).alias("toks")
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    edges = pairs.withColumn("j", S.jaccard(F.col("toks_a"), F.col("toks_b"))).where(F.col("j") >= 0.95)
+    cc = connected_components(docs.select("id"), edges.select("id_a", "id_b"))
+    return cc.labels.select(F.col("id").alias("doc_id"), F.col("component").cast("long").alias("component"))
+
+
+def q_er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-2 scoring channels on within-lang candidate pairs (doc_id<60)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("lang").alias("block_key"),
+            _tokens(F.col("text")).alias("toks"),
+            _shingles3(F.col("text")).alias("sh"),
+        )
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        S.jaccard(F.col("toks_a"), F.col("toks_b")).alias("token_jaccard"),
+        S.jaccard(F.col("sh_a"), F.col("sh_b")).alias("shingle_jaccard"),
+    ).withColumn(
+        "score",
+        F.round(0.6 * F.col("token_jaccard") + 0.4 * F.col("shingle_jaccard"), 6),
+    ).withColumn("token_jaccard", F.round("token_jaccard", 6)) \
+     .withColumn("shingle_jaccard", F.round("shingle_jaccard", 6))
+
+
+def q_eval_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/G12: pairwise confusion closed form. Blocks=lang, pred=source,
+    truth=n_chars bucket — synthetic labels, identical in the oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("block_key"),
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("pred"),
+        (F.col("n_chars") % 5).cast("long").alias("truth"),
+    )
+    conf = pairwise_confusion(docs, "block_key", "pred", "truth")
+    return conf.select(
+        "block_key",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("pred_pairs").cast("long").alias("pred_pairs"),
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.round(
+            F.when(F.col("pred_pairs") > 0, F.col("tp") / F.col("pred_pairs")).otherwise(F.lit(0.0)), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("true_pairs") > 0, F.col("tp") / F.col("true_pairs")).otherwise(F.lit(0.0)), 6
+        ).alias("recall"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_exact(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs within lang (exact, oracled)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("lang").alias("block_key"),
+        _shingles3(F.col("text")).alias("sh"),
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    return (
+        pairs.withColumn("jaccard", F.round(S.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= 0.35)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (32 bands × 2 rows → recall ≈ 1 at θ≥0.6;
+    oracle = exact all-pairs Jaccard, so this also audits LSH recall)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", bands=32, rows=2, threshold=0.6, shingle_n=3)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming ≤ 3 near-dup pairs. NOT SQL-expressible (xxhash64);
+    driver records rows-only; exactness covered by tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors; ranking on
+    round-6 cosine with c_id tie-break (deterministic across engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("long").alias("q_id"), F.col("embedding").cast("array<double>").alias("_qv")
+    )
+    corpus = emb.select(F.col("vec_id").cast("long").alias("c_id"), F.col("embedding").cast("array<double>").alias("_cv"))
+    scored = queries.crossJoin(corpus).select(
+        "q_id", "c_id", F.round(S.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine")
+    )
+    # rank on ROUNDED cosine with c_id tie-break → deterministic across engines
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5).select(
+        "q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs ≥ 0.99 (brute force, oracled)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("id"), F.lit("all").alias("block_key"), F.col("embedding").alias("vec")
+    )
+    pairs = blocked_pairs(emb, "block_key", "id", max_rows_per_task=700)
+    return (
+        pairs.withColumn("cosine", F.round(S.cosine(F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")), 6))
+        .where(F.col("cosine") >= 0.99)
+        .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine")
+    )
+
+
+def q_txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(_toks_seq(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def q_txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + alnum ratio + stopword-hit, avg of 3."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    len_ok = ((n >= 20) & (n <= 10000)).cast("double")
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")).cast("double") / F.greatest(n, F.lit(1))
+    toks = _tokens(F.col("text"))
+    stopw = F.arrays_overlap(toks, F.array(*[F.lit(s) for s in ("the", "and", "of", "is", "to")])).cast("double")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round((len_ok + alnum + stopw) / 3.0, 6).alias("quality"),
+    )
+
+
+def q_txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs the table's lang column (accuracy audit)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    markers = {
+        "en": ("the", "and", "of", "is"),
+        "de": ("der", "die", "und", "ist"),
+        "fr": ("le", "la", "et", "est"),
+        "es": ("el", "los", "que", "es"),
+    }
+    scores = {
+        lang: sum((F.array_contains(toks, w).cast("int") for w in ws), F.lit(0))
+        for lang, ws in markers.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit("unknown")
+    for lang in reversed(list(markers)):
+        guess = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).cast("long").alias("correct"),
+    )
+
+
+def q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash doc fingerprint, identical formula in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = _toks_seq(F.col("text"))
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.length(x) * 131 + F.ascii(x)) % F.lit(2147483647),
+    )
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fingerprint"))
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1-style partial+final agg); money as decimal(18,2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: left equi-join + agg by dimension attribute."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+
+
+def q_join_supplier_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way broadcast-dim join + count."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_suppliers"), F.round(F.avg("s_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+def q_semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: left-semi join (reference isin filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: anti join (reference negative sampling exclusion)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .select(F.col("c_custkey").cast("long").alias("custkey"), "c_name")
+    )
+
+
+def q_dedup_first_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: order-sensitive dedup via row_number over deterministic order."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the synthetic data — the
+    # ordering must cover every output column to make 'first' well-defined
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("l_suppkey"),
+        F.asc("l_quantity"), F.asc("l_extendedprice"),
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+        )
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-group top-k (reference argpartition top-pairs)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def q_argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: argmax per group with deterministic tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: corpus IDF — the reference's log(N/df + 1)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .select("word", F.col("df").cast("long").alias("df"), F.round(F.log(F.lit(float(n_docs)) / F.col("df") + 1.0), 6).alias("idf"))
+    )
+
+
+def q_block_stats_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-block mean + 2σ adaptive threshold over n_chars."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("lang").alias("block_key")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("sd_chars"),
+        F.round(F.avg("n_chars") + 2 * F.stddev_samp("n_chars"), 6).alias("threshold"),
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: vertical union + distinct (reference pd.concat)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(F.col("user_id").cast("long").alias("user_id"))
+    b = e.where(F.col("value") > 50).select(F.col("user_id").cast("long").alias("user_id"))
+    return a.unionByName(b).distinct()
+
+
+def q_levenshtein_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: built-in edit distance + ratio."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        F.col("p_partkey").cast("long").alias("partkey"),
+        F.levenshtein("p_name", "p_type").cast("long").alias("lev"),
+        F.round(
+            1.0 - F.levenshtein("p_name", "p_type") / F.greatest(F.length("p_name"), F.length("p_type")).cast("double"),
+            6,
+        ).alias("lev_ratio"),
+    )
+
+
+def q_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: token-set Jaccard / intersection / union sizes on doc pairs."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("long").alias("id"), F.lit("x").alias("block_key"), _tokens(F.col("text")).alias("toks")
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("inter_size"),
+        F.size(F.array_union("toks_a", "toks_b")).cast("long").alias("union_size"),
+        F.round(S.jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+    )
+
+
+def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed agg over the events table (streaming-shaped batch)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "er_pipeline_cc": q_er_pipeline_cc,
+        "er_scored_pairs": q_er_scored_pairs,
+        "eval_pairwise_f1": q_eval_pairwise_f1,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "txt_token_count": q_txt_token_count,
+        "txt_quality": q_txt_quality,
+        "txt_lang_id": q_txt_lang_id,
+        "txt_fingerprint": q_txt_fingerprint,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "join_orders_customer": q_join_orders_customer,
+        "join_supplier_nation_region": q_join_supplier_nation_region,
+        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+        "anti_join_customers_no_orders": q_anti_join_customers_no_orders,
+        "dedup_first_per_order": q_dedup_first_per_order,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "argmax_customer_per_nation": q_argmax_customer_per_nation,
+        "idf": q_idf,
+        "block_stats_threshold": q_block_stats_threshold,
+        "union_distinct": q_union_distinct,
+        "levenshtein_parts": q_levenshtein_parts,
+        "jaccard_docs": q_jaccard_docs,
+        "events_windowed_agg": q_events_windowed_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = SQL_TOKS.format(c="text")
+    toks_a, toks_b = SQL_TOKS.format(c="a.text"), SQL_TOKS.format(c="b.text")
+    sh_a, sh_b = SQL_SHINGLES3("a.text"), SQL_SHINGLES3("b.text")
+    return {
+        "er_pipeline_cc": f"""
+            WITH t AS (SELECT doc_id, lang, {toks} AS tk FROM documents),
+            p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0 THEN
+                len(list_intersect(a.tk, b.tk))::double / len(list_distinct(list_concat(a.tk, b.tk)))
+                ELSE 0.0 END >= 0.95
+            ),
+            e AS (SELECT ia, ib FROM p UNION SELECT ib, ia FROM p),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM t
+              UNION
+              SELECT reach.id, e.ib FROM reach JOIN e ON reach.r = e.ia
+            )
+            SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """.replace("WITH t AS", "WITH RECURSIVE t AS"),
+        "er_scored_pairs": f"""
+            WITH tok AS MATERIALIZED (SELECT doc_id, lang, {toks} AS tk, {SQL_TOKS_SEQ.format(c='text')} AS tseq
+                       FROM documents WHERE doc_id < 60),
+            t AS MATERIALIZED (SELECT doc_id, lang, tk, {SQL_SHINGLES3_FROM_COL('tseq')} AS sh FROM tok)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   {SQL_JACCARD('a.tk', 'b.tk')} AS token_jaccard,
+                   {SQL_JACCARD('a.sh', 'b.sh')} AS shingle_jaccard,
+                   round(0.6 * (CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0 THEN
+                     len(list_intersect(a.tk, b.tk))::double / len(list_distinct(list_concat(a.tk, b.tk))) ELSE 0.0 END)
+                   + 0.4 * (CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
+                     len(list_intersect(a.sh, b.sh))::double / len(list_distinct(list_concat(a.sh, b.sh))) ELSE 0.0 END), 6) AS score
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        """,
+        "eval_pairwise_f1": """
+            WITH d AS (SELECT lang AS block_key, doc_id, source AS pred, (n_chars % 5) AS truth FROM documents),
+            cell AS (SELECT block_key, pred, truth, count(*) c FROM d GROUP BY 1,2,3),
+            tp AS (SELECT block_key, sum(c*(c-1)/2) tp FROM cell GROUP BY 1),
+            pp AS (SELECT block_key, sum(c*(c-1)/2) pred_pairs FROM
+                   (SELECT block_key, pred, count(*) c FROM d GROUP BY 1,2) GROUP BY 1),
+            tr AS (SELECT block_key, sum(c*(c-1)/2) true_pairs FROM
+                   (SELECT block_key, truth, count(*) c FROM d GROUP BY 1,2) GROUP BY 1)
+            SELECT tp.block_key, tp.tp::bigint AS tp, pp.pred_pairs::bigint AS pred_pairs,
+                   tr.true_pairs::bigint AS true_pairs,
+                   round(CASE WHEN pp.pred_pairs > 0 THEN tp.tp / pp.pred_pairs ELSE 0.0 END, 6) AS precision,
+                   round(CASE WHEN tr.true_pairs > 0 THEN tp.tp / tr.true_pairs ELSE 0.0 END, 6) AS recall
+            FROM tp JOIN pp USING (block_key) JOIN tr USING (block_key)
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id)::bigint AS doc_id, count(*)::bigint AS group_size
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH tok AS MATERIALIZED (SELECT doc_id, lang, {SQL_TOKS_SEQ.format(c='text')} AS tk FROM documents),
+            t AS MATERIALIZED (SELECT doc_id, lang, {SQL_SHINGLES3_FROM_COL('tk')} AS sh FROM tok),
+            j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {SQL_JACCARD('a.sh', 'b.sh')} AS jaccard
+                  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.35
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH tok AS MATERIALIZED (SELECT doc_id, {SQL_TOKS_CLEAN_SEQ.format(c='text')} AS tk FROM documents),
+            t AS MATERIALIZED (SELECT doc_id, {SQL_SHINGLES3_FROM_COL('tk')} AS sh FROM tok),
+            e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            s AS (SELECT doc_id, len(sh) AS n FROM t),
+            j AS (SELECT i.doc_a, i.doc_b,
+                         i.c::double / (sa.n + sb.n - i.c) AS jr
+                  FROM inter i JOIN s sa ON i.doc_a = sa.doc_id JOIN s sb ON i.doc_b = sb.doc_id)
+            SELECT doc_a, doc_b, round(jr, 6) AS jaccard FROM j WHERE jr >= 0.6
+        """,
+        # dedup_simhash: intentionally no oracle (xxhash64-based; rows-only)
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (
+              SELECT q.q_id, c.c_id,
+                round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) > 0 AND sqrt(list_dot_product(c.v, c.v)) > 0
+                  THEN list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                  ELSE 0.0 END, 6) AS cosine
+              FROM q CROSS JOIN c
+            ),
+            r AS (SELECT q_id, c_id, cosine,
+                    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+                  FROM s)
+            SELECT q_id, c_id, cosine, rank::bigint AS rank FROM r WHERE rank <= 5
+        """,
+        "emb_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0
+                THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                ELSE 0.0 END, 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0
+                THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                ELSE 0.0 END >= 0.99
+        """,
+        "txt_token_count": f"""
+            SELECT doc_id::bigint AS doc_id,
+                   len({SQL_TOKS_SEQ.format(c='text')})::bigint AS n_tokens,
+                   len({toks})::bigint AS n_distinct_tokens
+            FROM documents
+        """,
+        "txt_quality": f"""
+            SELECT doc_id::bigint AS doc_id,
+              round((
+                (CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+                + length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))::double / greatest(length(text), 1)
+                + (CASE WHEN len(list_intersect({toks}, ['the','and','of','is','to'])) > 0 THEN 1.0 ELSE 0.0 END)
+              ) / 3.0, 6) AS quality
+            FROM documents
+        """,
+        "txt_lang_id": f"""
+            WITH t AS (SELECT doc_id, lang, {toks} AS tk FROM documents),
+            s AS (SELECT doc_id, lang,
+                len(list_intersect(tk, ['the','and','of','is'])) AS s_en,
+                len(list_intersect(tk, ['der','die','und','ist'])) AS s_de,
+                len(list_intersect(tk, ['le','la','et','est'])) AS s_fr,
+                len(list_intersect(tk, ['el','los','que','es'])) AS s_es
+              FROM t),
+            g AS (SELECT doc_id, lang,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END AS lang_guess
+              FROM s)
+            SELECT doc_id::bigint AS doc_id, lang_guess,
+                   (CASE WHEN lang_guess = lang THEN 1 ELSE 0 END)::bigint AS correct
+            FROM g
+        """,
+        "txt_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {SQL_TOKS_SEQ.format(c='text')} AS tk FROM documents)
+            SELECT doc_id::bigint AS doc_id,
+              list_reduce(
+                list_prepend(0::bigint,
+                  list_transform(tk, x -> (length(x)*131 + ascii(x))::bigint)),
+                (acc, c) -> (acc * 31 + c) % 2147483647
+              )::bigint AS fingerprint
+            FROM t
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": """
+            SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+                   count(*) AS n_orders,
+                   sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "join_supplier_nation_region": """
+            SELECT r.r_name AS region, count(*) AS n_suppliers, round(avg(s.s_acctbal), 4) AS avg_bal
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "semi_join_customers_with_orders": """
+            SELECT c_nationkey::bigint AS nationkey, count(*) AS n_customers
+            FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        """,
+        "anti_join_customers_no_orders": """
+            SELECT c_custkey::bigint AS custkey, c_name
+            FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "dedup_first_per_order": """
+            SELECT l_orderkey::bigint AS orderkey, l_partkey::bigint AS partkey,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS quantity
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC,
+                             l_quantity ASC, l_extendedprice ASC) rn
+                  FROM lineitem) WHERE rn = 1
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey::bigint AS custkey, o_orderkey::bigint AS orderkey, rank::bigint AS rank
+            FROM (SELECT o_custkey, o_orderkey,
+                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                  FROM orders) WHERE rank <= 3
+        """,
+        "argmax_customer_per_nation": """
+            SELECT c_nationkey::bigint AS nationkey, c_custkey::bigint AS custkey,
+                   round(c_acctbal, 2) AS acctbal
+            FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) rn
+                  FROM customer) WHERE rn = 1
+        """,
+        "idf": f"""
+            WITH w AS (SELECT unnest({toks}) AS word FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT word, count(*)::bigint AS df,
+                   round(ln((SELECT n_docs FROM n)::double / count(*) + 1.0), 6) AS idf
+            FROM w GROUP BY word
+        """,
+        "block_stats_threshold": """
+            SELECT lang AS block_key, count(*) AS n,
+                   round(avg(n_chars), 6) AS mean_chars,
+                   round(stddev_samp(n_chars), 6) AS sd_chars,
+                   round(avg(n_chars) + 2 * stddev_samp(n_chars), 6) AS threshold
+            FROM documents GROUP BY lang
+        """,
+        "union_distinct": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id::bigint AS user_id FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id::bigint AS user_id FROM events WHERE value > 50
+            )
+        """,
+        "levenshtein_parts": """
+            SELECT p_partkey::bigint AS partkey,
+                   levenshtein(p_name, p_type)::bigint AS lev,
+                   round(1.0 - levenshtein(p_name, p_type)::double / greatest(length(p_name), length(p_type)), 6) AS lev_ratio
+            FROM part WHERE p_partkey <= 200
+        """,
+        "jaccard_docs": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id < 40)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.tk, b.tk))::bigint AS inter_size,
+                   len(list_distinct(list_concat(a.tk, b.tk)))::bigint AS union_size,
+                   {SQL_JACCARD('a.tk', 'b.tk')} AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+        """,
+        "events_windowed_agg": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+    }

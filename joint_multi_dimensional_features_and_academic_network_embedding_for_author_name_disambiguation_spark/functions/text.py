@@ -46,7 +46,10 @@ def tokenize(col: Column, min_len: int = 2, drop_stopwords: bool = True) -> Colu
     toks = F.split(normalize_text(col), " ")
     toks = F.filter(toks, lambda x: F.length(x) >= min_len)
     if drop_stopwords:
-        toks = F.array_except(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+        # F.filter, NOT array_except — array_except silently dedups, which
+        # would corrupt downstream shingle sequences
+        sw = F.array(*[F.lit(s) for s in STOPWORDS])
+        toks = F.filter(toks, lambda x: ~F.array_contains(sw, x))
     return toks
 
 

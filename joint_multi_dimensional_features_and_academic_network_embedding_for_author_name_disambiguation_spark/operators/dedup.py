@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a documents/files corpus, each returning either a
+`keep` table (survivors) or a `dup_pairs` table, all deterministic:
+
+  exact         — sha256 hash-groupBy, keep lexicographically-first id
+  ngram_jaccard — word-shingle Jaccard over blocked candidate pairs
+  minhash_lsh   — banded MinHash candidate join + exact-Jaccard verify
+  simhash       — 64-bit SimHash, chunk-join candidates, hamming verify
+  embedding     — cosine near-dup over dense vectors (LSH-bucketed)
+
+These generalize the reference's text-similarity edges
+(src/pre_data/generate_adj.py:106-126) into standalone corpus operators.
+At 100 TB: exact dedup is one shuffle on a 32-byte key; LSH families
+shuffle only (band_key) groups; nothing is O(corpus²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..functions import text as T
+from .minhash import banded_keys, hamming64, simhash_chunks, simhash64
+from .pairs import blocked_pairs, multi_key_pairs, pairs_from_keys
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivors under exact-content dedup: min id per sha256(text).
+
+    Order-sensitive 'keep first' (reference drop_duplicates,
+    src/pre_data/pickle_data.py:69) made deterministic via min(id).
+    """
+    return (
+        df.withColumn("_sha", F.sha2(F.col(text_col), 256))
+        .groupBy("_sha")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+        .drop("_sha")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    block_cols: list[str] | None = None,
+    max_rows_per_task: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard ≥ threshold within blocks.
+
+    block_cols defaults to a cheap length-bucket (log2 of token count):
+    near-dups at θ ≥ 0.5 cannot differ in size by more than 2× so adjacent
+    buckets are co-probed.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        T.word_ngrams(T.tokenize(F.col(text_col)), n).alias("grams"),
+    ).persist()  # barrier: grams referenced by both block keys and payload
+    if block_cols is None:
+        lb = F.floor(F.log2(F.greatest(F.size("grams"), F.lit(1)) + 1))
+        # probe own bucket and the next-lower one (size-ratio bound)
+        m = base.withColumn("bk0", lb.cast("string")).withColumn(
+            "bk1", (lb + 1).cast("string")
+        )
+        pairs = multi_key_pairs(m, ["bk0", "bk1"], id_col="id", max_rows_per_task=max_rows_per_task)
+    else:
+        m = df.select(F.concat_ws("|", *block_cols).alias("block_key"), F.col(id_col).alias("id")).join(
+            base, "id"
+        )
+        pairs = blocked_pairs(m, "block_key", "id", max_rows_per_task)
+    return (
+        pairs.withColumn("jaccard", S.jaccard(F.col("grams_a"), F.col("grams_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_rows_per_task: int = 2000,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash, verified with exact Jaccard.
+
+    shingle → minhash → band → bucket-join → verify (north_rule stage-1
+    banding). Recall at θ: 1-(1-θ^rows)^bands (≈0.96 at θ=0.5, 16×4).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        T.word_ngrams(T.tokenize(F.col(text_col)), shingle_n).alias("grams"),
+    ).where(F.size("grams") > 0)
+    # materialization barrier: without it Catalyst's projection collapse
+    # inlines the shingle expression into the 64-reference signature tree
+    # and re-evaluates tokenization per hash (measured 30x slowdown)
+    base = base.persist()
+    keys = banded_keys(base, "id", "grams", bands=bands, rows=rows)
+    pairs = pairs_from_keys(keys, base, id_col="id", max_rows_per_task=max_rows_per_task)
+    return (
+        pairs.withColumn("jaccard", S.jaccard(F.col("grams_a"), F.col("grams_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_rows_per_task: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole: split 64 bits into max_hamming+1 chunks; any pair within
+    the distance agrees on ≥1 chunk, so chunk values are blocking keys.
+    """
+    chunks = max_hamming + 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(T.tokenize(F.col(text_col))).alias("sim"),
+    ).persist()  # barrier: sim referenced by every chunk key + verify
+    for i, c in enumerate(simhash_chunks(F.col("sim"), chunks)):
+        base = base.withColumn(f"chunk_{i}", F.concat_ws("|", F.lit(str(i)), c.cast("string")))
+    key_cols = [f"chunk_{i}" for i in range(chunks)]
+    pairs = multi_key_pairs(base, key_cols, id_col="id", max_rows_per_task=max_rows_per_task)
+    return (
+        pairs.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 12,
+    max_rows_per_task: int = 2000,
+) -> DataFrame:
+    """Cosine near-dups over dense vectors via random-hyperplane LSH.
+
+    Hyperplanes are deterministic hash-derived pseudo-vectors: component
+    j of plane p = (xxhash64(p, j) mod 2001 - 1000)/1000 — no RNG state.
+    Bucket key = sign bits of the projections; verify with exact cosine.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+
+    def plane_component(p: int):
+        # single-arg lambda factory — a two-arg lambda would get its second
+        # parameter bound to the ARRAY INDEX by PySpark, collapsing every
+        # hyperplane to the same one
+        return lambda j: ((F.xxhash64(F.lit(p), j) % 2001 + 2001) % 2001 - 1000) / 1000.0
+
+    sig_bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_component(p)),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig_bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    # two band keys of planes/2 bits each → near-identical vectors collide
+    half = planes // 2
+    base = base.withColumn("bk0", F.concat(*sig_bits[:half])).withColumn(
+        "bk1", F.concat(F.lit("B1_"), F.concat(*sig_bits[half:]))
+    )
+    pairs = multi_key_pairs(base, ["bk0", "bk1"], id_col="id", max_rows_per_task=max_rows_per_task)
+    return (
+        pairs.withColumn("cosine", S.cosine(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -90,6 +90,35 @@ def blocked_pairs(
     return pairs
 
 
+def pairs_from_keys(
+    keys: DataFrame,
+    members: DataFrame,
+    id_col: str = "id",
+    max_rows_per_task: int = 2000,
+) -> DataFrame:
+    """Candidate pairs from a skinny (id, block_key) key table.
+
+    The scale-shape core: `keys` carries NO payload (one row per
+    (id, blocking key) — composite stem keys and MinHash band keys
+    alike), so the O(n²)-bounded self-join shuffles only ids; pairs are
+    deduped on (id_a, id_b) keeping the least key; `members`' payload
+    columns are joined back exactly once per surviving pair.
+    """
+    keys = keys.persist()
+    pairs = blocked_pairs(keys, "block_key", id_col, max_rows_per_task)
+    pairs = pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
+    payload = [c for c in members.columns if c != id_col]
+    if payload:
+        pa = members.select(
+            F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in payload]
+        )
+        pb = members.select(
+            F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload]
+        )
+        pairs = pairs.join(pa, "id_a").join(pb, "id_b")
+    return pairs
+
+
 def multi_key_pairs(
     members: DataFrame,
     key_cols: list[str],
@@ -99,23 +128,18 @@ def multi_key_pairs(
     """Pairs under several blocking-key columns, deduplicated.
 
     Used for MinHash banding: each band key is its own blocking key
-    (north_rule stage 1 — banding keys are part of the composite key);
-    a pair found under any key is emitted once, tagged with the first
-    (lexicographically least) key that produced it.
+    (north_rule stage 1 — banding keys are part of the composite key).
+    Scale shape: key columns are EXPLODED into skinny (block_key, id)
+    rows so candidate generation is ONE shuffle regardless of band count,
+    pairs are deduped on (id_a, id_b), and the (wide) payload is joined
+    back exactly once per surviving pair — payload bytes never fan out
+    through the band replication.
     """
-    payload = [c for c in members.columns if c not in key_cols and c != id_col]
-    unions = None
-    for k in key_cols:
-        m = members.where(F.col(k).isNotNull()).select(
-            F.col(k).alias("block_key"), F.col(id_col), *[F.col(c) for c in payload]
-        )
-        p = blocked_pairs(m, "block_key", id_col, max_rows_per_task)
-        unions = p if unions is None else unions.unionByName(p)
-    return unions.groupBy("id_a", "id_b").agg(
-        F.min("block_key").alias("block_key"),
-        *[
-            F.first(c).alias(c)
-            for c in unions.columns
-            if c not in ("id_a", "id_b", "block_key")
-        ],
+    keys = members.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(k) for k in key_cols])).alias("block_key"),
+    ).where(F.col("block_key").isNotNull())
+    payload = members.select(
+        id_col, *[c for c in members.columns if c not in key_cols and c != id_col]
     )
+    return pairs_from_keys(keys, payload, id_col, max_rows_per_task)

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..operators import scoring
 from ..operators.connected_components import connected_components
-from ..operators.minhash import with_band_columns
-from ..operators.pairs import blocked_pairs, multi_key_pairs
+from ..operators.minhash import banded_keys
+from ..operators.pairs import blocked_pairs, pairs_from_keys
 from .checkpoint import CheckpointManager
 
 
@@ -76,14 +76,21 @@ def run_pipeline(
             norm = norm.join(feats, "id", "left")
         members = norm.withColumn("block_key", F.concat_ws("|", "lang", "stem"))
         payload_cols = [c for c in members.columns if c not in ("repo", "path", "commit")]
-        members = members.select(*payload_cols)
+        # barrier: tokenization/shingling must materialize once — Catalyst
+        # projection collapse would otherwise re-evaluate it per signature
+        # hash / per join side
+        members = members.select(*payload_cols).persist()
         if use_bands:
-            members = with_band_columns(
-                members, "tokens", bands=bands, rows=rows_per_band, prefix_col="lang"
+            # composite blocking: stem key + MinHash band keys in one
+            # skinny key table (band keys prefixed by lang so banding
+            # never crosses a language boundary)
+            band_k = banded_keys(
+                members, "id", "tokens", bands=bands, rows=rows_per_band, prefix_col="lang"
             )
-            key_cols = ["block_key"] + [f"band_{i}" for i in range(bands)]
-            pairs = multi_key_pairs(
-                members, key_cols, id_col="id", max_rows_per_task=max_rows_per_task
+            stem_k = members.select("id", "block_key")
+            keys = stem_k.unionByName(band_k)
+            pairs = pairs_from_keys(
+                keys, members.drop("block_key"), id_col="id", max_rows_per_task=max_rows_per_task
             )
         else:
             pairs = blocked_pairs(members, "block_key", "id", max_rows_per_task)

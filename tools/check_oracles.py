@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
+DuckDB over the same parquet (default sf0.01), compares row count, sorted
+column names, and order-insensitive values (exact string equality after
+canonical formatting — stricter than the driver's value-hash).
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from jmdfane_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, Decimal):
+        return f"{v.normalize():f}"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return f"{v:.6f}"
+    return str(v)
+
+
+def rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(",".join(canon(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"SPARK ERROR: {type(e).__name__}: {str(e)[:200]}"
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(srows)} rows)"
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"DUCKDB ERROR: {str(e)[:200]}"
+            continue
+        if sorted(scols) != sorted(dcols):
+            results[name] = f"SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}"
+            continue
+        if len(srows) != len(drows):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}"
+            continue
+        a = rowset(scols, [[r[c] for c in scols] for r in srows])
+        b = rowset(dcols, drows)
+        if a == b:
+            results[name] = f"OK ({len(srows)} rows, {time.time()-t0:.1f}s)"
+        else:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            results[name] = f"VALUE MISMATCH ({len([1 for x, y in zip(a, b) if x != y])}/{len(a)} rows) e.g. {diffs[:2]}"
+
+    width = max(len(k) for k in results)
+    nok = 0
+    for k, v in results.items():
+        print(f"{k:<{width}}  {v}")
+        nok += v.startswith("OK") or v.startswith("rows-only")
+    print(f"\n{nok}/{len(results)} pass")
+
+
+if __name__ == "__main__":
+    main()
