@@ -42,6 +42,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     checkpointer=None,
+    count_components: bool = False,
 ) -> CCResult:
     """Hash-min CC over an undirected edge table.
 
@@ -96,8 +97,12 @@ def connected_components(
             labels = checkpointer.write_iteration("cc_labels", it, labels)
         else:
             labels = labels.localCheckpoint()
-        n_components = labels.select("component").distinct().count()
-        metrics.append({"iteration": it, "labels_changed": int(changed), "components": int(n_components)})
+        row = {"iteration": it, "labels_changed": int(changed)}
+        if count_components:
+            # optional: a full extra job per iteration — only for lineage
+            # metrics, never needed for convergence
+            row["components"] = int(labels.select("component").distinct().count())
+        metrics.append(row)
         if changed == 0:
             break
 

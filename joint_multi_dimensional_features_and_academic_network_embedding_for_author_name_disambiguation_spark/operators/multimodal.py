@@ -85,7 +85,7 @@ def frame_sample(media: DataFrame, every_n: int = 10, strict: bool = False) -> D
                 raise NotImplementedError("frame extraction requires video codecs")
             out_id, out_idx, out_sha = [], [], []
             for mid, payload, nf in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
-                n = int(nf) if nf is not None else 0
+                n = 0 if pd.isna(nf) else int(nf)  # nullable int arrives as NaN
                 for idx in range(0, n, every_n):
                     out_id.append(mid)
                     out_idx.append(idx)

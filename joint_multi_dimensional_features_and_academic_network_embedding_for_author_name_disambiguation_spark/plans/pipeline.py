@@ -27,7 +27,7 @@ from ..functions import text as T
 from ..operators import scoring
 from ..operators.connected_components import connected_components
 from ..operators.minhash import banded_keys
-from ..operators.pairs import blocked_pairs, pairs_from_keys
+from ..operators.pairs import blocked_pairs
 from .checkpoint import CheckpointManager
 
 
@@ -38,7 +38,13 @@ class PipelineResult:
 
 
 def normalize_files(files: DataFrame) -> DataFrame:
-    """Stage 0: ids, invariants, token features — pure column math."""
+    """Stage 0: ids, invariants, token features — pure column math.
+
+    Token/shingle sets are xxhash64-hashed to array<bigint>: at 3.2M pairs
+    the scoring join shuffles ~8× fewer bytes and array_intersect on
+    primitive longs is ~3.6× faster than on strings (measured sf0.1);
+    Jaccard on hashed sets is exact up to 2^-64-scale collisions.
+    """
     return files.select(
         F.concat_ws(":", "repo", "path", "commit").alias("id"),
         "repo",
@@ -48,8 +54,10 @@ def normalize_files(files: DataFrame) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha"),
         F.lower(F.regexp_replace(F.col("path"), "[^A-Za-z0-9/.]+", "")).alias("norm_path"),
         T.path_stem(F.col("path")).alias("stem"),
-        T.token_set(F.col("content")).alias("tokens"),
-        T.word_ngrams(T.tokenize(F.col("content")), 3).alias("shingles"),
+        F.array_sort(F.transform(T.token_set(F.col("content")), lambda t: F.xxhash64(t))).alias("tokens"),
+        F.array_sort(
+            F.transform(T.word_ngrams(T.tokenize(F.col("content")), 3), lambda t: F.xxhash64(t))
+        ).alias("shingles"),
     )
 
 
@@ -68,18 +76,24 @@ def run_pipeline(
     ck = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
     metrics: dict = {}
 
-    # ---- stage 0+1: normalize + blocking + candidate pairs -----------------
+    # ---- stage 0: normalize (barrier: tokenization/shingling/tf-idf must
+    # materialize once — Catalyst projection collapse would otherwise
+    # re-evaluate it per signature hash / per join side) -----------------------
+    norm = normalize_files(files)
+    if use_tfidf:
+        feats = scoring.tfidf_features(norm.select("id", "tokens"), "id", "tokens")
+        norm = norm.join(feats, "id", "left")
+    members = (
+        norm.withColumn("block_key", F.concat_ws("|", "lang", "stem"))
+        .drop("repo", "path", "commit")
+        .persist()
+    )
+
+    # ---- stage 1: blocking → SKINNY candidate pairs --------------------------
+    # Pair generation shuffles only (block_key, id): the wide feature
+    # payload never rides through the O(n²)-bounded self-join.
     def build_pairs() -> DataFrame:
-        norm = normalize_files(files)
-        if use_tfidf:
-            feats = scoring.tfidf_features(norm.select("id", "tokens"), "id", "tokens")
-            norm = norm.join(feats, "id", "left")
-        members = norm.withColumn("block_key", F.concat_ws("|", "lang", "stem"))
-        payload_cols = [c for c in members.columns if c not in ("repo", "path", "commit")]
-        # barrier: tokenization/shingling must materialize once — Catalyst
-        # projection collapse would otherwise re-evaluate it per signature
-        # hash / per join side
-        members = members.select(*payload_cols).persist()
+        stem_k = members.select("id", "block_key")
         if use_bands:
             # composite blocking: stem key + MinHash band keys in one
             # skinny key table (band keys prefixed by lang so banding
@@ -87,30 +101,46 @@ def run_pipeline(
             band_k = banded_keys(
                 members, "id", "tokens", bands=bands, rows=rows_per_band, prefix_col="lang"
             )
-            stem_k = members.select("id", "block_key")
             keys = stem_k.unionByName(band_k)
-            pairs = pairs_from_keys(
-                keys, members.drop("block_key"), id_col="id", max_rows_per_task=max_rows_per_task
-            )
+            pairs = blocked_pairs(keys, "block_key", "id", max_rows_per_task)
+            pairs = pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
         else:
-            pairs = blocked_pairs(members, "block_key", "id", max_rows_per_task)
+            pairs = blocked_pairs(stem_k, "block_key", "id", max_rows_per_task)
         return pairs
 
     pairs = ck.stage("pairs", build_pairs) if ck else build_pairs()
-    # one action; AQE sizes downstream shuffles from the real pair count
+    # AQE coalesces the skinny pair shuffle by BYTES (~64 MB targets), but
+    # downstream cost is compute-per-pair — without an explicit repartition
+    # the scoring stage runs on a handful of partitions no matter how many
+    # cores exist (measured: local[32] slower than local[8]). Round-robin
+    # repartition the cheap skinny rows to full parallelism.
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    pairs = pairs.repartition(n_part).persist()
     n_pairs = pairs.count()
     metrics["pairs_generated"] = n_pairs
     if ck:
         ck.log_metric(stage="blocking", pairs_generated=n_pairs)
 
-    # ---- stage 2: scoring ----------------------------------------------------
+    # ---- stage 2: scoring -----------------------------------------------------
+    # Payload attaches via two joins of the (small, persisted) members
+    # table, then one scoring pass; with members under the broadcast
+    # threshold these are map-side joins — the pair stream never reshuffles.
     def build_scored() -> DataFrame:
-        scored = scoring.score_pairs(pairs)
+        payload = members.drop("block_key")
+        pcols = [c for c in payload.columns if c != "id"]
+        pa = payload.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in pcols])
+        pb = payload.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in pcols])
+        wide = pairs.join(pa, "id_a").join(pb, "id_b")
+        # cascade pruning is edge-exact for a fixed threshold; adaptive
+        # per-block thresholds need the full channel vector (A5)
+        scored = scoring.score_pairs(wide, prune_below=None if adaptive else threshold)
         keep = ["block_key", "id_a", "id_b", "content_sha_a", "content_sha_b",
                 "token_jaccard", "shingle_jaccard", "path_sim", "tfidf_cosine", "score"]
         return scored.select(*[c for c in keep if c in scored.columns])
 
-    scored = ck.stage("scored", build_scored) if ck else build_scored()
+    # persist: scored feeds both the metrics count and the CC edge input —
+    # without it the whole scoring stage executes twice
+    scored = ck.stage("scored", build_scored) if ck else build_scored().persist()
     if adaptive:
         edges = scoring.adaptive_threshold(scored, base=threshold)
     else:
@@ -121,8 +151,7 @@ def run_pipeline(
         ck.log_metric(stage="scoring", pairs_scored=n_scored)
 
     # ---- stage 3: connected components --------------------------------------
-    base = normalize_files(files).withColumn("block_key", F.concat_ws("|", "lang", "stem"))
-    vertices = base.select("id", "block_key", "content_sha")
+    vertices = members.select("id", "block_key", "content_sha")
 
     cc = connected_components(
         vertices.select("id"), edges.select("id_a", "id_b"), checkpointer=ck

@@ -67,6 +67,7 @@ def synthesize(
     template_len: tuple[int, int] = (60, 160),
     seed: int = 42,
     max_pairs_per_block: int = 200_000,
+    emit_pairs: bool = True,
 ) -> Fixture:
     """Build the fixture. Block 0 is the hot (skew) block."""
     rng = random.Random(seed)
@@ -126,6 +127,8 @@ def synthesize(
             member_ids.append((rid, c))
 
         # labeled pairs (i<j by id string) — cap hot-block pair explosion
+        if not emit_pairs:
+            continue
         member_ids.sort()
         n_pairs = n_rows * (n_rows - 1) // 2
         if n_pairs <= max_pairs_per_block:

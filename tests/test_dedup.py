@@ -1,0 +1,102 @@
+"""Dedup operators vs brute-force ground truth on small corpora."""
+
+import itertools
+
+import pyspark.sql.functions as F
+
+from jmdfane_spark.operators import dedup as D
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+TEXTS = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",       # 0
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",       # 1 exact dup of 0
+    "alpha beta gamma delta epsilon zeta eta theta iota lambda",      # 2 near dup of 0
+    "completely different words here about spark and distributed",    # 3
+    "totally other content with unique vocabulary terms everywhere",  # 4
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa mu",    # 5 near dup of 0
+]
+
+
+def test_dedup_exact(spark):
+    out = {r.doc_id: r.group_size for r in D.dedup_exact(_docs(spark, TEXTS), "doc_id", "text").collect()}
+    assert out[0] == 2       # 0 and 1 collapse, min id survives
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def _brute_ngram_jaccard(texts, n=3):
+    def grams(t):
+        toks = [w for w in t.lower().split() if len(w) >= 2]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        a, b = grams(texts[i]), grams(texts[j])
+        out[(i, j)] = len(a & b) / len(a | b) if a | b else 0.0
+    return out
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    want = {p for p, jac in _brute_ngram_jaccard(TEXTS).items() if jac >= 0.5}
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            _docs(spark, TEXTS), "doc_id", "text", bands=32, rows=2, threshold=0.5
+        ).collect()
+    }
+    # exact-verify step makes precision 1.0; 32x2 banding makes recall ~1 here
+    assert got == want and len(want) >= 3
+
+
+def test_ngram_jaccard_pairs(spark):
+    brute = _brute_ngram_jaccard(TEXTS)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs(spark, TEXTS), "doc_id", "text", threshold=0.5).collect()
+    }
+    want = {p: jac for p, jac in brute.items() if jac >= 0.5}
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-6
+
+
+def test_simhash_pairs_exact_dups_and_brute_force(spark):
+    from jmdfane_spark.functions import text as T
+    from jmdfane_spark.operators.minhash import hamming64, simhash64
+
+    docs = _docs(spark, TEXTS)
+    got = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    # brute force: all-pairs hamming via the same simhash column
+    sims = docs.select("doc_id", simhash64(T.tokenize(F.col("text"))).alias("s"))
+    a = sims.selectExpr("doc_id as id_a", "s as sa")
+    b = sims.selectExpr("doc_id as id_b", "s as sb")
+    allp = (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", hamming64(F.col("sa"), F.col("sb")))
+        .where(F.col("h") <= 3)
+    )
+    want = {(r.id_a, r.id_b): r.h for r in allp.collect()}
+    assert got == want
+    assert got[(0, 1)] == 0  # exact dups → identical simhash
+
+
+def test_embedding_near_dup(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.001, 0.0, 0.0]),    # near dup of 0 and 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, vec array<double>")
+    got = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs(df, "vec_id", "vec", threshold=0.999).collect()}
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    assert not any(2 in p or 3 in p for p in got)
