@@ -76,7 +76,12 @@ def synthesize(
 
     for b in range(n_blocks):
         lang = LANGS[b % len(LANGS)]
-        stem = f"{rng.choice(vocab).replace('_', '')}{b}"
+        # block id encoded as LETTERS: path_stem strips trailing digits and
+        # version-ish suffixes, so a digit suffix would merge distinct
+        # blocks after normalization (huge accidental mega-blocks)
+        alpha = "".join("abcdefghijklmnopqrstuvwxyz"[int(d)] for d in str(b))
+        word = "".join(c for c in rng.choice(vocab) if c.isalpha())
+        stem = f"{word}x{alpha}"
         block_key = f"{lang}|{stem}"
         n_rows = hot_block_rows if b == 0 else rng.randint(min_rows, max_rows)
         n_clusters = max(2, min(rng.randint(*clusters_per_block), n_rows // 2))
