@@ -517,6 +517,62 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: map distinct labels to 0..k-1 via dense_rank."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    return (
+        docs.select("source").distinct()
+        .withColumn("code", (F.dense_rank().over(w) - 1).cast("long"))
+    )
+
+
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-group (x-min)/(max-min), two-pass agg + join-back."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    stats = e.groupBy("event_type").agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.round(
+                F.when(F.col("_mx") > F.col("_mn"), (F.col("value") - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))).otherwise(F.lit(0.0)),
+                6,
+            ).alias("norm_value"),
+        )
+    )
+
+
+def q_vector_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-label mean embedding vector via posexplode + agg (the
+    distributed form of the reference's np.mean over word vectors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.col("label").cast("long").alias("label"), F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_x"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "mean_x")
+    )
+
+
+def q_euclidean_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: Euclidean distance over zipped arrays (vec_id < 15 pairs)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 15).select(
+        F.col("vec_id").cast("long").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("id").alias("vec_a"), F.col("v").alias("_va"))
+    b = emb.select(F.col("id").alias("vec_b"), F.col("v").alias("_vb"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("_va", "_vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    return pairs.select("vec_a", "vec_b", F.round(dist, 6).alias("euclidean"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_pipeline_cc": q_er_pipeline_cc,
@@ -546,6 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_parts": q_levenshtein_parts,
         "jaccard_docs": q_jaccard_docs,
         "events_windowed_agg": q_events_windowed_agg,
+        "label_encoding": q_label_encoding,
+        "minmax_normalize": q_minmax_normalize,
+        "vector_mean": q_vector_mean,
+        "euclidean_pairs": q_euclidean_pairs,
     }
 
 
@@ -782,5 +842,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 4) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "label_encoding": """
+            SELECT source, (dense_rank() OVER (ORDER BY source) - 1)::bigint AS code
+            FROM (SELECT DISTINCT source FROM documents)
+        """,
+        "minmax_normalize": """
+            WITH s AS (SELECT event_type, min(value) mn, max(value) mx
+                       FROM events WHERE event_id < 5000 GROUP BY 1)
+            SELECT e.event_id::bigint AS event_id,
+                   round(CASE WHEN s.mx > s.mn THEN (e.value - s.mn) / (s.mx - s.mn) ELSE 0.0 END, 6) AS norm_value
+            FROM events e JOIN s USING (event_type) WHERE e.event_id < 5000
+        """,
+        "vector_mean": """
+            SELECT label::bigint AS label, u.pos::bigint AS pos, round(avg(u.x), 6) AS mean_x
+            FROM (SELECT label, unnest(list_transform(embedding, (x, i) -> {'pos': i - 1, 'x': x::double})) AS u
+                  FROM embeddings)
+            GROUP BY 1, 2
+        """,
+        "euclidean_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 15)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(sqrt(list_sum(list_transform(a.v, (x, i) -> (x - b.v[i]) * (x - b.v[i])))), 6) AS euclidean
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
         """,
     }

@@ -37,7 +37,7 @@ class PipelineResult:
     metrics: dict = field(default_factory=dict)
 
 
-def normalize_files(files: DataFrame) -> DataFrame:
+def normalize_files(files: DataFrame, staged: bool = False) -> DataFrame:
     """Stage 0: ids, invariants, token features — pure column math.
 
     Token/shingle sets are xxhash64-hashed to array<bigint>: at 3.2M pairs
@@ -45,7 +45,7 @@ def normalize_files(files: DataFrame) -> DataFrame:
     primitive longs is ~3.6× faster than on strings (measured sf0.1);
     Jaccard on hashed sets is exact up to 2^-64-scale collisions.
     """
-    return files.select(
+    base = files.select(
         F.concat_ws(":", "repo", "path", "commit").alias("id"),
         "repo",
         "path",
@@ -54,9 +54,21 @@ def normalize_files(files: DataFrame) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha"),
         F.lower(F.regexp_replace(F.col("path"), "[^A-Za-z0-9/.]+", "")).alias("norm_path"),
         T.path_stem(F.col("path")).alias("stem"),
-        F.array_sort(F.transform(T.token_set(F.col("content")), lambda t: F.xxhash64(t))).alias("tokens"),
+        T.tokenize(F.col("content")).alias("_tseq"),
+    )
+    if staged:
+        # materialization barrier: the shingle transform references the
+        # token sequence once per ELEMENT; if _tseq stays an expression,
+        # projection collapse re-runs the whole tokenization per shingle
+        # (~130× per row). One cheap cache turns that into column reads.
+        base = base.persist()
+    return base.select(
+        "id", "repo", "path", "commit", "lang", "content_sha", "norm_path", "stem",
         F.array_sort(
-            F.transform(T.word_ngrams(T.tokenize(F.col("content")), 3), lambda t: F.xxhash64(t))
+            F.transform(F.array_distinct(F.col("_tseq")), lambda t: F.xxhash64(t))
+        ).alias("tokens"),
+        F.array_sort(
+            F.transform(T.word_ngrams(F.col("_tseq"), 3), lambda t: F.xxhash64(t))
         ).alias("shingles"),
     )
 
@@ -73,13 +85,16 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     adaptive: bool = False,
 ) -> PipelineResult:
+    import time as _time
+
     ck = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
     metrics: dict = {}
+    _t0 = _time.time()
 
     # ---- stage 0: normalize (barrier: tokenization/shingling/tf-idf must
     # materialize once — Catalyst projection collapse would otherwise
     # re-evaluate it per signature hash / per join side) -----------------------
-    norm = normalize_files(files)
+    norm = normalize_files(files, staged=True)
     if use_tfidf:
         feats = scoring.tfidf_features(norm.select("id", "tokens"), "id", "tokens")
         norm = norm.join(feats, "id", "left")
@@ -88,6 +103,9 @@ def run_pipeline(
         .drop("repo", "path", "commit")
         .persist()
     )
+    members.count()
+    metrics["t_normalize"] = round(_time.time() - _t0, 2)
+    _t0 = _time.time()
 
     # ---- stage 1: blocking → SKINNY candidate pairs --------------------------
     # Pair generation shuffles only (block_key, id): the wide feature
@@ -118,6 +136,8 @@ def run_pipeline(
     pairs = pairs.repartition(n_part).persist()
     n_pairs = pairs.count()
     metrics["pairs_generated"] = n_pairs
+    metrics["t_blocking"] = round(_time.time() - _t0, 2)
+    _t0 = _time.time()
     if ck:
         ck.log_metric(stage="blocking", pairs_generated=n_pairs)
 
@@ -147,6 +167,8 @@ def run_pipeline(
         edges = scored.where(F.col("score") >= threshold)
     n_scored = scored.count()
     metrics["pairs_scored"] = n_scored
+    metrics["t_scoring"] = round(_time.time() - _t0, 2)
+    _t0 = _time.time()
     if ck:
         ck.log_metric(stage="scoring", pairs_scored=n_scored)
 
@@ -158,6 +180,7 @@ def run_pipeline(
     )
     metrics["cc_iterations"] = cc.iterations
     metrics["cc_metrics"] = cc.metrics
+    metrics["t_cc"] = round(_time.time() - _t0, 2)
     if ck:
         for row in cc.metrics:
             ck.log_metric(stage="cc", **row)

@@ -60,7 +60,9 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         # Quiet local UI.
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # local mode: the driver JVM is the only executor — size it for the
+        # cached pair/feature tables (8g causes GC storms at 10M+ pairs)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     }
     if extra_conf:
         conf.update(extra_conf)
