@@ -336,9 +336,19 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # bround (half-even) BEFORE the decimal cast: Spark's double->decimal
+            # cast rounds HALF_UP while DuckDB's CAST rounds half-even, so any
+            # .xx5-representable value (0.125, 0.375, ...) diverges otherwise.
+            F.sum(F.bround(F.col("l_quantity"), 2).cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.bround(F.col("l_extendedprice"), 2).cast("decimal(18,2)")).alias("sum_price"),
+            # exact decimal sum then ONE double division — double avg() drifts
+            # in the 6th decimal with summation order (Spark vs DuckDB thread
+            # interleavings); round(double) is half-away-from-zero in both.
+            F.round(
+                F.sum(F.bround(F.col("l_discount"), 2).cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -353,7 +363,7 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.sum(F.bround(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias("total"),
         )
     )
 
@@ -367,7 +377,14 @@ def q_join_supplier_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
-        .agg(F.count("*").alias("n_suppliers"), F.round(F.avg("s_acctbal"), 4).alias("avg_bal"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(
+                F.sum(F.bround(F.col("s_acctbal"), 2).cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_bal"),
+        )
     )
 
 
@@ -407,7 +424,7 @@ def q_dedup_first_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").cast("long").alias("orderkey"),
             F.col("l_partkey").cast("long").alias("partkey"),
-            F.col("l_quantity").cast("decimal(18,2)").alias("quantity"),
+            F.bround(F.col("l_quantity"), 2).cast("decimal(18,2)").alias("quantity"),
         )
     )
 
@@ -756,7 +773,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
                    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -768,7 +785,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "join_supplier_nation_region": """
-            SELECT r.r_name AS region, count(*) AS n_suppliers, round(avg(s.s_acctbal), 4) AS avg_bal
+            SELECT r.r_name AS region, count(*) AS n_suppliers,
+                   round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_bal
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1

@@ -21,6 +21,7 @@ and directly joinable back to the labels table.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -32,6 +33,7 @@ class CCResult:
     labels: DataFrame          # (id, component)
     iterations: int
     metrics: list[dict] = field(default_factory=list)  # per-iteration rows
+    converged: bool = True     # False ⇒ labels are NOT a fixpoint (diameter > max_iter)
 
 
 def connected_components(
@@ -107,4 +109,15 @@ def connected_components(
             break
 
     sym.unpersist()
-    return CCResult(labels=labels, iterations=it, metrics=metrics)
+    converged = (not metrics) or metrics[-1]["labels_changed"] == 0
+    if not converged:
+        # a component with graph diameter > max_iter would silently get
+        # wrong ids — never return that as if it were a fixpoint
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({metrics[-1]['labels_changed']} labels still changing); "
+            "labels are NOT transitive-closure-complete",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return CCResult(labels=labels, iterations=it, metrics=metrics, converged=converged)

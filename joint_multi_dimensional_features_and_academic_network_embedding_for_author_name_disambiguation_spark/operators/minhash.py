@@ -152,13 +152,17 @@ def simhash64(tokens: Column) -> Column:
             lambda x, y: x + y,
         ),
     )
-    # Horner fold from bit 63 down: acc = acc*2 + sign(vote). References
-    # the (expensive) bitvotes expression exactly once; int64 wrap on the
-    # top bit is intended (non-ANSI mode).
+    # Horner fold from bit 63 down via shiftleft|bitwiseOR: shifts wrap the
+    # top bit silently under BOTH ANSI and non-ANSI sessions (an `acc * 2`
+    # multiply throws ARITHMETIC_OVERFLOW under spark.sql.ansi.enabled=true
+    # — operators must be correct independent of session conf). Same bit
+    # layout as before, so hamming64 is unchanged.
     return F.aggregate(
         F.reverse(bitvotes),
         F.lit(0).cast("long"),
-        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        lambda acc, v: F.shiftleft(acc, 1).bitwiseOR(
+            F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ),
     )
 
 

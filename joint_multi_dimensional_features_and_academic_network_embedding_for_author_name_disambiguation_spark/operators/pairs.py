@@ -17,7 +17,9 @@ split the O(n²) pair explosion itself, so we do it algorithmically:
      join so every bucket pair is its own shuffle key → a hot block's
      pairs are produced by many independent tasks.
 
-All pairs are still produced exactly once (i<j on the id string dedups).
+All pairs are produced exactly once: cross-bucket combos (i<j) are unique
+by construction, intra-bucket combos are guarded by id_a<id_b, and output
+order is normalized so id_a < id_b.
 """
 
 from __future__ import annotations
@@ -44,10 +46,12 @@ def blocked_pairs(
         "_splits",
         F.ceil(F.col("_n").cast("double") / F.lit(max_rows_per_task)).cast("int"),
     )
-    # combo table: for each block, ALL ordered (i, j) bucket pairs. The
-    # global `id_a < id_b` filter then keeps each unordered pair exactly
-    # once — under the combo matching its (bucket(a), bucket(b)) — so no
-    # pair is lost when the smaller id lives in the larger bucket.
+    # combo table: for each block, only UNORDERED (i ≤ j) bucket pairs —
+    # s·(s+1)/2 combos, not s². Enumerating all ordered combos and then
+    # filtering `id_a < id_b` materializes ~2× the join output on the
+    # hottest operator in the engine; instead each unordered pair is
+    # produced exactly once (i<j cross-bucket, i==j intra-bucket with an
+    # id_a<id_b guard) and pair order is normalized by a conditional swap.
     combos = counts.select(
         block_col,
         "_splits",
@@ -56,7 +60,7 @@ def blocked_pairs(
                 F.transform(
                     F.sequence(F.lit(0), F.col("_splits") - 1),
                     lambda i: F.transform(
-                        F.sequence(F.lit(0), F.col("_splits") - 1),
+                        F.sequence(i, F.col("_splits") - 1),
                         lambda j: F.struct(i.alias("bi"), j.alias("bj")),
                     ),
                 )
@@ -81,13 +85,25 @@ def blocked_pairs(
         *[F.col(c).alias(f"{c}_b") for c in payload],
     )
     tasks = F.broadcast(combos.select(block_col, "_bi", "_bj"))
-    pairs = (
+    joined = (
         a.join(tasks, [block_col, "_bi"])
         .join(b, [block_col, "_bj"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .drop("_bi", "_bj")
+        # intra-bucket combos need the strict-order guard; cross-bucket
+        # (bi<bj) pairs are already unique (bucket is a function of id)
+        .where((F.col("_bi") < F.col("_bj")) | (F.col("id_a") < F.col("id_b")))
     )
-    return pairs
+    # normalize so id_a < id_b always (a cross-bucket pair can arrive
+    # reversed), swapping the payload alongside — pure column math
+    swap = F.col("id_a") > F.col("id_b")
+    out = [
+        F.col(block_col),
+        F.when(swap, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(swap, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+    ]
+    for c in payload:
+        out.append(F.when(swap, F.col(f"{c}_b")).otherwise(F.col(f"{c}_a")).alias(f"{c}_a"))
+        out.append(F.when(swap, F.col(f"{c}_a")).otherwise(F.col(f"{c}_b")).alias(f"{c}_b"))
+    return joined.select(*out)
 
 
 def pairs_from_keys(

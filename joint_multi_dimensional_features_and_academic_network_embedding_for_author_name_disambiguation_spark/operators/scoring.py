@@ -46,6 +46,19 @@ CHANNEL_WEIGHTS = {
     "path_sim": 0.15,
 }
 
+# 5-channel variant with the network-embedding cosine — the reference fuses
+# the HIN-embedding similarity as a first-class channel alongside the text
+# channels (src/local_embedding/model.py:34-58, HIN channel loaded at
+# local_embedding.py:74-79): the "joint multi-dimensional features AND
+# academic network embedding" of the paper title.
+CHANNEL_WEIGHTS_EMB = {
+    "token_jaccard": 0.30,
+    "shingle_jaccard": 0.20,
+    "tfidf_cosine": 0.20,
+    "path_sim": 0.10,
+    "emb_cosine": 0.20,
+}
+
 TFIDF_DIM = 1024  # hashed feature space for the Arrow-UDF cosine variant
 
 
@@ -157,10 +170,23 @@ def score_pairs(
     """
     w = dict(weights or CHANNEL_WEIGHTS)
     has_tfidf = "tfidf_idx_a" in pairs.columns
+    has_emb = "emb_cosine" in w
     out = pairs.withColumn("token_jaccard", S.jaccard(F.col("tokens_a"), F.col("tokens_b")))
     out = out.withColumn("path_sim", S.levenshtein_ratio(F.col("norm_path_a"), F.col("norm_path_b")))
 
     shingle_expr = S.jaccard(F.col("shingles_a"), F.col("shingles_b"))
+    if has_emb:
+        if "emb_vec_a" in pairs.columns:
+            # network-embedding channel (G4→F6); nodes absent from the
+            # embedding table (no graph edges / OOV) fall back to the token
+            # channel — the reference's OOV fallback idiom (F11), but
+            # deterministic instead of random
+            emb_expr = F.when(
+                F.col("emb_vec_a").isNotNull() & F.col("emb_vec_b").isNotNull(),
+                S.cosine(F.col("emb_vec_a"), F.col("emb_vec_b")),
+            ).otherwise(F.col("token_jaccard"))
+        else:
+            emb_expr = F.col("token_jaccard")
     if has_tfidf:
         if tfidf_impl == "jvm" and "tfidf_map_a" in pairs.columns:
             tfidf_expr = tfidf_cosine_jvm(
@@ -175,11 +201,13 @@ def score_pairs(
         tfidf_expr = F.col("token_jaccard")
 
     cheap_part = w["token_jaccard"] * F.col("token_jaccard") + w["path_sim"] * F.col("path_sim")
-    exp_weight = w["shingle_jaccard"] + w["tfidf_cosine"]
+    exp_weight = w["shingle_jaccard"] + w["tfidf_cosine"] + (w["emb_cosine"] if has_emb else 0.0)
 
     if prune_below is None:
         out = out.withColumn("shingle_jaccard", shingle_expr)
         out = out.withColumn("tfidf_cosine", tfidf_expr)
+        if has_emb:
+            out = out.withColumn("emb_cosine", emb_expr)
         fused: Column = sum((F.lit(wt) * F.col(ch) for ch, wt in w.items()), F.lit(0.0))
         return out.withColumn("score", F.round(fused, 9))
 
@@ -192,6 +220,9 @@ def score_pairs(
         + w["shingle_jaccard"] * F.col("shingle_jaccard")
         + w["tfidf_cosine"] * F.col("tfidf_cosine")
     )
+    if has_emb:
+        out = out.withColumn("emb_cosine", F.when(keep, emb_expr))
+        fused_full = fused_full + w["emb_cosine"] * F.col("emb_cosine")
     return out.withColumn("score", F.round(F.when(keep, fused_full).otherwise(ub), 9))
 
 

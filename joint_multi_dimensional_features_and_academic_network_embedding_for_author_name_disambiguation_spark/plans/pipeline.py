@@ -84,6 +84,10 @@ def run_pipeline(
     max_rows_per_task: int = 2000,
     checkpoint_dir: str | None = None,
     adaptive: bool = False,
+    use_embedding: bool = False,
+    emb_dim: int = 32,
+    emb_walks: int = 3,
+    emb_walk_len: int = 8,
 ) -> PipelineResult:
     import time as _time
 
@@ -151,11 +155,45 @@ def run_pipeline(
         pa = payload.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in pcols])
         pb = payload.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in pcols])
         wide = pairs.join(pa, "id_a").join(pb, "id_b")
+        weights = None
+        if use_embedding:
+            # two-pass fusion, mirroring the reference's flow: channel
+            # graphs are built FIRST, the HIN embedding is trained on that
+            # graph, then its cosine joins the fusion as a first-class
+            # channel (src/local_embedding/local_embedding.py:74-79,
+            # model.py:34-58). Phase A scores the 4 text channels to get a
+            # preliminary similarity graph; phase B trains deterministic
+            # weighted walks + Word2Vec on it and rescores with the
+            # 5-channel weights.
+            from ..operators.embedding import random_walks, train_node_embeddings
+
+            wide = wide.persist()
+            prelim = scoring.score_pairs(wide, prune_below=threshold * 0.75)
+            graph = prelim.where(F.col("score") >= threshold * 0.75).select(
+                "id_a", "id_b", F.col("score").alias("w")
+            )
+            walks = random_walks(
+                graph, num_walks=emb_walks, walk_len=emb_walk_len, weight_col="w"
+            )
+            emb = train_node_embeddings(walks, dim=emb_dim)
+            wide = wide.join(
+                emb.select(F.col("node").alias("id_a"), F.col("vec").alias("emb_vec_a")),
+                "id_a",
+                "left",
+            ).join(
+                emb.select(F.col("node").alias("id_b"), F.col("vec").alias("emb_vec_b")),
+                "id_b",
+                "left",
+            )
+            weights = scoring.CHANNEL_WEIGHTS_EMB
         # cascade pruning is edge-exact for a fixed threshold; adaptive
         # per-block thresholds need the full channel vector (A5)
-        scored = scoring.score_pairs(wide, prune_below=None if adaptive else threshold)
+        scored = scoring.score_pairs(
+            wide, weights=weights, prune_below=None if adaptive else threshold
+        )
         keep = ["block_key", "id_a", "id_b", "content_sha_a", "content_sha_b",
-                "token_jaccard", "shingle_jaccard", "path_sim", "tfidf_cosine", "score"]
+                "token_jaccard", "shingle_jaccard", "path_sim", "tfidf_cosine",
+                "emb_cosine", "score"]
         return scored.select(*[c for c in keep if c in scored.columns])
 
     # persist: scored feeds both the metrics count and the CC edge input —
