@@ -590,6 +590,67 @@ def q_euclidean_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round(dist, 6).alias("euclidean"))
 
 
+def q_eval_nmi_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: NMI + ARI closed forms over the contingency table — the
+    reference scores every run with these alongside pairwise F1
+    (src/utils/clustering_metric.py:61-66). Same synthetic labels as
+    eval_pairwise_f1; oracle = the identical contingency SQL in DuckDB."""
+    from jmdfane_spark.operators.evaluate import nmi_ari
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("block_key"),
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("pred"),
+        (F.col("n_chars") % 5).cast("long").alias("truth"),
+    )
+    out = nmi_ari(docs, "block_key", "pred", "truth")
+    return out.select(
+        "block_key",
+        F.col("n").cast("long").alias("n"),
+        F.round("nmi", 6).alias("nmi"),
+        F.round("ari", 6).alias("ari"),
+    )
+
+
+def q_eval_munkres_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: best-mapping clustering accuracy (Munkres over contingency
+    cells, reference clustering_metric.py:16-59). The assignment problem
+    is not SQL-expressible — driver records rows-only; exactness is
+    covered by tests/test_metrics.py (brute-force permutation oracle)."""
+    from jmdfane_spark.operators.evaluate import munkres_accuracy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("block_key"),
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("pred"),
+        (F.col("n_chars") % 5).cast("long").alias("truth"),
+    )
+    out = munkres_accuracy(docs, "block_key", "pred", "truth")
+    return out.select("block_key", "n", F.round("acc", 6).alias("acc"))
+
+
+def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: the BASELINE.json per-row invariant as a driver-checkable
+    query — content sha256 carried through stage-0 normalization equals
+    the source hash (DuckDB sha256 on the raw documents table)."""
+    from jmdfane_spark.plans.pipeline import normalize_files
+
+    files = documents_as_files(spark, sf_dir)
+    norm = normalize_files(files)
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.sha2(F.col("text"), 256).alias("_src_sha")
+    )
+    got = norm.select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        "content_sha",
+    )
+    return got.join(src, "doc_id").select(
+        "doc_id",
+        "content_sha",
+        (F.col("content_sha") == F.col("_src_sha")).cast("long").alias("matches_source"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_pipeline_cc": q_er_pipeline_cc,
@@ -623,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_normalize": q_minmax_normalize,
         "vector_mean": q_vector_mean,
         "euclidean_pairs": q_euclidean_pairs,
+        "eval_nmi_ari": q_eval_nmi_ari,
+        "eval_munkres_acc": q_eval_munkres_acc,
+        "sha_invariant": q_sha_invariant,
     }
 
 
@@ -883,5 +947,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(sqrt(list_sum(list_transform(a.v, (x, i) -> (x - b.v[i]) * (x - b.v[i])))), 6) AS euclidean
             FROM e a JOIN e b ON a.vec_id < b.vec_id
+        """,
+        "eval_nmi_ari": """
+            WITH j AS (SELECT lang AS block_key, source AS pred, (n_chars % 5)::bigint AS truth
+                       FROM documents),
+            nn AS (SELECT block_key, count(*)::double AS n FROM j GROUP BY 1),
+            cell AS (SELECT block_key, pred, truth, count(*)::double AS c FROM j GROUP BY 1,2,3),
+            aa AS (SELECT block_key, pred, count(*)::double AS a FROM j GROUP BY 1,2),
+            bb AS (SELECT block_key, truth, count(*)::double AS b FROM j GROUP BY 1,2),
+            mi AS (SELECT cell.block_key,
+                          sum((c / nn.n) * ln(nn.n * c / (aa.a * bb.b))) AS mi,
+                          sum(c * (c - 1) / 2) AS sum_comb_cells
+                   FROM cell JOIN aa USING (block_key, pred)
+                             JOIN bb USING (block_key, truth)
+                             JOIN nn USING (block_key)
+                   GROUP BY 1),
+            hp AS (SELECT aa.block_key, -sum((a / nn.n) * ln(a / nn.n)) AS h_pred,
+                          sum(a * (a - 1) / 2) AS sum_comb_a, count(*)::double AS k_pred
+                   FROM aa JOIN nn USING (block_key) GROUP BY 1),
+            ht AS (SELECT bb.block_key, -sum((b / nn.n) * ln(b / nn.n)) AS h_true,
+                          sum(b * (b - 1) / 2) AS sum_comb_b, count(*)::double AS k_true
+                   FROM bb JOIN nn USING (block_key) GROUP BY 1),
+            x AS (SELECT mi.block_key, nn.n, mi.mi, mi.sum_comb_cells,
+                         hp.h_pred, hp.sum_comb_a, hp.k_pred,
+                         ht.h_true, ht.sum_comb_b, ht.k_true,
+                         nn.n * (nn.n - 1) / 2 AS total_pairs
+                  FROM mi JOIN hp USING (block_key) JOIN ht USING (block_key)
+                          JOIN nn USING (block_key)),
+            y AS (SELECT *, CASE WHEN total_pairs > 0
+                                 THEN sum_comb_a * sum_comb_b / total_pairs ELSE 0.0 END AS expected
+                  FROM x)
+            SELECT block_key, n::bigint AS n,
+                   round(CASE WHEN k_pred = 1 AND k_true = 1 THEN 1.0
+                              ELSE mi / greatest(2.220446049250313e-16, (h_pred + h_true) / 2)
+                         END, 6) AS nmi,
+                   round(CASE WHEN (sum_comb_a + sum_comb_b) / 2 - expected = 0 THEN 1.0
+                              ELSE (sum_comb_cells - expected)
+                                   / ((sum_comb_a + sum_comb_b) / 2 - expected)
+                         END, 6) AS ari
+            FROM y
+        """,
+        "sha_invariant": """
+            SELECT doc_id::bigint AS doc_id, sha256(text) AS content_sha,
+                   1::bigint AS matches_source
+            FROM documents
         """,
     }

@@ -53,8 +53,8 @@ def random_walks(
         step t follows only edges of type metapath[(t-1) % len] (reference
         metapath ['coauthor','coorgs','coauthor','covenue'],
         src/hin_embedding/meta2vec.py:34-39,127-145). A walk with no
-        neighbor of the scheduled type stalls in place (path stops
-        growing), matching the reference's walk truncation.
+        neighbor of the scheduled type terminates (the path stops growing
+        permanently), matching the reference's walk truncation.
     """
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # edge types only matter when a metapath schedules them — otherwise
@@ -121,7 +121,12 @@ def random_walks(
             )
             .select(
                 "walk_id",
-                F.coalesce(F.col("nxt"), F.element_at("path", -1)).alias("cur"),
+                # a walk with no neighbor of the scheduled type TERMINATES
+                # (cur → NULL, never extended again) — the reference breaks
+                # out of the walk loop, it does not stall-and-retry
+                # (meta2vec.py:127-145); a revived walk would stitch edges
+                # that skip metapath positions
+                F.col("nxt").alias("cur"),
                 F.when(F.col("nxt").isNotNull(), F.concat("path", F.array("nxt")))
                 .otherwise(F.col("path"))
                 .alias("path"),

@@ -89,6 +89,189 @@ def pairwise_f1(
     }
 
 
+def nmi_ari(
+    joined: DataFrame, block_col: str = "block_key", pred_col: str = "pred", true_col: str = "truth"
+) -> DataFrame:
+    """Per-block NMI + ARI from the same contingency cells as pairwise F1.
+
+    The reference evaluates every run with NMI and ARI alongside pairwise
+    F1 (src/utils/clustering_metric.py:61-66, sklearn
+    normalized_mutual_info_score / adjusted_rand_score, called from
+    src/local_embedding/local_embedding.py:602-606). Both are closed forms
+    over groupBy(pred,truth).count() cells — O(#distinct label pairs), no
+    sklearn, no pair materialization:
+
+      MI  = Σ_ij (n_ij/N)·ln(N·n_ij/(a_i·b_j))
+      NMI = MI / ((H_pred + H_true)/2)        (sklearn 'arithmetic' default)
+      ARI = (Σ_ij C(n_ij,2) − E) / ((Σ_i C(a_i,2)+Σ_j C(b_j,2))/2 − E),
+            E = Σ_i C(a_i,2)·Σ_j C(b_j,2)/C(N,2)
+
+    Degenerate conventions match sklearn: both-sides-single-cluster → NMI
+    1.0; zero ARI denominator (both partitions trivial) → ARI 1.0.
+    Returns (block_key, n, nmi, ari).
+    """
+    cell = joined.groupBy(block_col, pred_col, true_col).agg(F.count("*").alias("c"))
+    cell = cell.withColumn("c", F.col("c").cast("double"))
+    a = joined.groupBy(block_col, pred_col).agg(F.count("*").cast("double").alias("a"))
+    b = joined.groupBy(block_col, true_col).agg(F.count("*").cast("double").alias("b"))
+    n = joined.groupBy(block_col).agg(F.count("*").cast("double").alias("n"))
+
+    mi_terms = (
+        cell.join(a, [block_col, pred_col])
+        .join(b, [block_col, true_col])
+        .join(n, block_col)
+        .groupBy(block_col)
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("n"))
+                * F.log(F.col("n") * F.col("c") / (F.col("a") * F.col("b")))
+            ).alias("mi"),
+            F.sum(_pairs_of(F.col("c"))).alias("sum_comb_cells"),
+        )
+    )
+    hp = (
+        a.join(n, block_col)
+        .groupBy(block_col)
+        .agg(
+            (-F.sum((F.col("a") / F.col("n")) * F.log(F.col("a") / F.col("n")))).alias("h_pred"),
+            F.sum(_pairs_of(F.col("a"))).alias("sum_comb_a"),
+            F.count("*").cast("double").alias("k_pred"),
+        )
+    )
+    ht = (
+        b.join(n, block_col)
+        .groupBy(block_col)
+        .agg(
+            (-F.sum((F.col("b") / F.col("n")) * F.log(F.col("b") / F.col("n")))).alias("h_true"),
+            F.sum(_pairs_of(F.col("b"))).alias("sum_comb_b"),
+            F.count("*").cast("double").alias("k_true"),
+        )
+    )
+    eps = 2.220446049250313e-16  # float64 machine epsilon, sklearn's floor
+    out = (
+        mi_terms.join(hp, block_col)
+        .join(ht, block_col)
+        .join(n, block_col)
+        .withColumn(
+            "nmi",
+            F.when((F.col("k_pred") == 1) & (F.col("k_true") == 1), F.lit(1.0)).otherwise(
+                F.col("mi") / F.greatest(F.lit(eps), (F.col("h_pred") + F.col("h_true")) / 2.0)
+            ),
+        )
+        .withColumn("_total_pairs", _pairs_of(F.col("n")))
+        .withColumn(
+            "_expected",
+            F.when(
+                F.col("_total_pairs") > 0,
+                F.col("sum_comb_a") * F.col("sum_comb_b") / F.col("_total_pairs"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_denom", (F.col("sum_comb_a") + F.col("sum_comb_b")) / 2.0 - F.col("_expected")
+        )
+        .withColumn(
+            "ari",
+            F.when(F.col("_denom") == 0, F.lit(1.0)).otherwise(
+                (F.col("sum_comb_cells") - F.col("_expected")) / F.col("_denom")
+            ),
+        )
+    )
+    return out.select(block_col, F.col("n").cast("long").alias("n"), "nmi", "ari")
+
+
+def _hungarian_max(profit):
+    """Max-profit assignment over a rectangular numpy matrix; returns the
+    optimal total. Pure-numpy O(n³) potentials/shortest-augmenting-path
+    (the munkres package the reference uses, clustering_metric.py:37-40,
+    is not in this container). Rows ≤ cols required — callers pad."""
+    import numpy as np
+
+    cost = -profit.astype("float64")  # minimize
+    n, m = cost.shape
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (m + 1)
+    p = [0] * (m + 1)     # p[j] = row matched to column j (1-indexed)
+    way = [0] * (m + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, m + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(m + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while True:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+            if j0 == 0:
+                break
+    total = 0.0
+    for j in range(1, m + 1):
+        if p[j]:
+            total += profit[p[j] - 1][j - 1]
+    return total
+
+
+def munkres_accuracy(
+    joined: DataFrame, block_col: str = "block_key", pred_col: str = "pred", true_col: str = "truth"
+) -> DataFrame:
+    """Per-block best-mapping clustering accuracy (Munkres/Hungarian).
+
+    Reference: clusteringAcc at src/utils/clustering_metric.py:16-59 —
+    match predicted to true labels by maximum-assignment over the
+    contingency matrix, then accuracy = matched fraction. Distributed
+    shape: the contingency CELLS (not rows) group per block through
+    applyInPandas, so each group is O(k_pred·k_true) — tiny even for the
+    reference's worst 157-cluster block. Returns (block_key, n, acc).
+    """
+    import pandas as pd
+
+    cell = joined.groupBy(block_col, pred_col, true_col).agg(F.count("*").alias("c"))
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        preds = {v: i for i, v in enumerate(sorted(pdf[pred_col].astype(str).unique()))}
+        trues = {v: i for i, v in enumerate(sorted(pdf[true_col].astype(str).unique()))}
+        m = np.zeros((len(preds), len(trues)), dtype="float64")
+        for _, r in pdf.iterrows():
+            m[preds[str(r[pred_col])], trues[str(r[true_col])]] = r["c"]
+        if m.shape[0] > m.shape[1]:
+            m = np.pad(m, ((0, 0), (0, m.shape[0] - m.shape[1])))
+            m = m.T
+        total = _hungarian_max(m)
+        n = float(pdf["c"].sum())
+        return pd.DataFrame(
+            {block_col: [pdf[block_col].iloc[0]], "n": [int(n)], "acc": [total / n if n else 0.0]}
+        )
+
+    return cell.groupBy(block_col).applyInPandas(
+        solve, schema=f"{block_col} string, n long, acc double"
+    )
+
+
 def pairwise_f1_on_labeled_pairs(pred_labels: DataFrame, labeled_pairs: DataFrame) -> dict:
     """F1 against an explicit labeled-pairs table (BASELINE.json metric:
     'labeled pairs at matching blocking keys').

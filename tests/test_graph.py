@@ -42,6 +42,68 @@ def test_outlier_reattach(spark):
     assert out["a"] == "c1" and out["b"] == "c1"
 
 
+def test_weighted_walks_track_edge_weights(spark):
+    """Empirical next-hop distribution follows edge weights (reference
+    weighted choice, src/hin_embedding/meta2vec.py:141-143)."""
+    edges = spark.createDataFrame(
+        [("c", "x", 9.0), ("c", "y", 1.0)], "id_a string, id_b string, w double"
+    )
+    walks = random_walks(edges, num_walks=300, walk_len=2, weight_col="w")
+    hops = [r.path[1] for r in walks.collect() if r.start == "c"]
+    assert len(hops) == 300
+    frac_x = hops.count("x") / len(hops)
+    assert 0.84 <= frac_x <= 0.96, frac_x  # expect ~0.9 under uniform hashing
+
+
+def test_weighted_walks_deterministic_under_repartition(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("c", "d", 5.0), ("a", "d", 1.0)],
+        "id_a string, id_b string, w double",
+    )
+    w1 = {
+        (r.walk_id, r.start): tuple(r.path)
+        for r in random_walks(edges, num_walks=3, walk_len=6, weight_col="w").collect()
+    }
+    w2 = {
+        (r.walk_id, r.start): tuple(r.path)
+        for r in random_walks(
+            edges.repartition(7), num_walks=3, walk_len=6, weight_col="w"
+        ).collect()
+    }
+    assert w1 == w2
+
+
+def test_metapath_walks_follow_type_schedule(spark):
+    """Step t follows only edges of type metapath[(t-1) % len] — the
+    reference's typed metapath (meta2vec.py:34-39,127-145); a node with no
+    edge of the scheduled type stalls the walk."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "t1", 1.0),
+            ("b", "c", "t2", 1.0),
+            ("a", "d", "t2", 1.0),
+            ("c", "e", "t1", 1.0),
+        ],
+        "id_a string, id_b string, et string, w double",
+    )
+    walks = random_walks(
+        edges, num_walks=4, walk_len=4, weight_col="w", type_col="et", metapath=["t1", "t2"]
+    )
+    typed = {("a", "b"): "t1", ("b", "c"): "t2", ("c", "e"): "t1", ("a", "d"): "t2"}
+    adj = {}
+    for (u, v), t in typed.items():
+        adj.setdefault((u, t), set()).add(v)
+        adj.setdefault((v, t), set()).add(u)
+    for r in walks.collect():
+        path = list(r.path)
+        for step, (u, v) in enumerate(zip(path, path[1:]), start=1):
+            want = ["t1", "t2"][(step - 1) % 2]
+            assert v in adj.get((u, want), set()), (path, step, want)
+    # walks from 'd' must stall immediately on the t1 step (d has only t2)
+    d_walks = [tuple(r.path) for r in walks.collect() if r.start == "d"]
+    assert d_walks and all(p == ("d",) for p in d_walks)
+
+
 def test_random_walks_deterministic_and_connected(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d")], "id_a string, id_b string"

@@ -27,6 +27,16 @@ def test_flagship_f1_with_banding(spark, fixture_dfs):
     assert m["f1"] >= 0.99, m
 
 
+def test_flagship_f1_with_embedding_channel(spark, fixture_dfs):
+    """5-channel fusion with the network-embedding cosine (the reference's
+    HIN channel, local_embedding.py:74-79 + model.py:34-58) keeps the
+    F1 ≥ 0.99 contract and emits the emb_cosine channel."""
+    files, labels, lpairs = fixture_dfs
+    res = run_pipeline(spark, files, use_bands=False, use_tfidf=True, use_embedding=True)
+    m = pairwise_f1_on_labeled_pairs(res.labels, lpairs)
+    assert m["f1"] >= 0.99, m
+
+
 def test_sha_invariant(spark, fixture_dfs):
     files, _, _ = fixture_dfs
     res = run_pipeline(spark, files, use_bands=False, use_tfidf=False)
