@@ -1,0 +1,235 @@
+"""Per-block exact clustering: GHAC — average-linkage agglomerative with a
+modularity-guided k scan (G7/G8 fallback to threshold-CC).
+
+Reference semantics (src/local_embedding/local_embedding.py:316-364; the
+variant at src/cluster_pred/cluster_predict.py:258-307 differs only in
+threshold):
+
+  * similarity graph per block (zero diagonal), distance = −similarity;
+  * n_components1 = #connected components of the full graph (sim > 0);
+  * n_components  = #components after zeroing edges ≤ threshold (0.3);
+  * for k from n_components down to n_components1: cut the average-linkage
+    dendrogram at k clusters, score the partition with Newman modularity on
+    the THRESHOLDED weighted graph, keep the best (strict >, so the largest
+    k — the threshold-CC-like partition — wins ties, as in the reference).
+
+Why it beats plain threshold-CC on heterogeneous blocks: the agglomerative
+cut at k = n_components splits weak components at their weakest
+average-linkage boundary, which can simultaneously cut a spurious
+above-threshold bridge between dense sub-clusters AND re-attach a
+sub-threshold member to its dense home cluster — threshold-CC can do
+neither (it is exactly the k = n_components partition along threshold
+edges).
+
+Distributed shape: one block = one applyInPandas group (blocks are bounded
+— the reference's worst is 3228 mentions; SURVEY §1.3). The per-block
+solver is pure numpy: NN-chain average linkage is O(n²) time / O(n²)
+memory, modularity is vectorized. Blocks above ``max_block_rows`` fall
+back to thresholded union-find — identical semantics to the engine's
+distributed hash-min CC — so the operator never materializes an oversized
+dense matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# numpy core (also used directly by tests)
+# --------------------------------------------------------------------------
+
+def _uf_find(parent: np.ndarray, x: int) -> int:
+    while parent[x] != x:
+        parent[x] = parent[parent[x]]
+        x = parent[x]
+    return x
+
+
+def _n_components(mask: np.ndarray) -> int:
+    n = mask.shape[0]
+    parent = np.arange(n)
+    ii, jj = np.nonzero(np.triu(mask, 1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = _uf_find(parent, i), _uf_find(parent, j)
+        if ri != rj:
+            parent[ri] = rj
+    return len({_uf_find(parent, i) for i in range(n)})
+
+
+def _nn_chain_average(dist: np.ndarray) -> list[tuple[float, int, int]]:
+    """Average-linkage merge list via the nearest-neighbor-chain algorithm
+    (O(n²); exact for reducible linkages — average is reducible). Returns
+    (height, rep_a, rep_b) sorted ascending by height; reps are the
+    surviving row index of each cluster in the working matrix."""
+    n = dist.shape[0]
+    d = dist.astype("float64").copy()
+    np.fill_diagonal(d, np.inf)
+    size = np.ones(n)
+    active = np.ones(n, dtype=bool)
+    merges: list[tuple[float, int, int]] = []
+    chain: list[int] = []
+    for _ in range(n - 1):
+        if not chain:
+            chain.append(int(np.flatnonzero(active)[0]))
+        while True:
+            x = chain[-1]
+            row = np.where(active, d[x], np.inf).copy()
+            row[x] = np.inf
+            y = int(np.argmin(row))  # ties: smallest index (argmin)
+            if len(chain) >= 2 and y == chain[-2]:
+                break
+            chain.append(y)
+        y = chain.pop()
+        x = chain.pop()
+        h = d[x, y]
+        a, b = (x, y) if x < y else (y, x)
+        merges.append((float(h), a, b))
+        # Lance-Williams average linkage: cluster a absorbs b
+        upd = (size[a] * d[a] + size[b] * d[b]) / (size[a] + size[b])
+        d[a] = upd
+        d[:, a] = upd
+        d[a, a] = np.inf
+        size[a] += size[b]
+        active[b] = False
+        d[b] = np.inf
+        d[:, b] = np.inf
+    merges.sort(key=lambda t: t[0])  # stable: equal heights keep merge order
+    return merges
+
+
+def _cut_k(n: int, merges: list[tuple[float, int, int]], k: int) -> np.ndarray:
+    """Labels (0..k-1, order of first appearance) after the first n-k
+    merges of the height-sorted merge list."""
+    parent = np.arange(n)
+    for _, a, b in merges[: max(0, n - k)]:
+        ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([_uf_find(parent, i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels
+
+
+def _modularity(w: np.ndarray, labels: np.ndarray) -> float:
+    """Newman modularity of a partition on a symmetric weighted graph
+    (python-louvain community.modularity semantics, zero diagonal)."""
+    two_m = float(w.sum())
+    if two_m == 0:
+        return 0.0
+    deg = w.sum(axis=1)
+    q = 0.0
+    for c in np.unique(labels):
+        idx = labels == c
+        q += w[np.ix_(idx, idx)].sum() / two_m - (deg[idx].sum() / two_m) ** 2
+    return float(q)
+
+
+def ghac_labels(sim: np.ndarray, threshold: float = 0.3) -> np.ndarray:
+    """GHAC over one block's similarity matrix → integer labels.
+
+    Mirrors GHAC at local_embedding.py:316-364: k scanned from the
+    thresholded component count down to the raw component count, partition
+    from the average-linkage dendrogram on −sim, winner by modularity on
+    the thresholded graph (strict >, largest k wins ties)."""
+    n = sim.shape[0]
+    if n <= 1:
+        return np.zeros(n, dtype=int)
+    n1 = _n_components(sim > 0)
+    thr = sim.copy()
+    thr[thr <= threshold] = 0.0
+    nc = _n_components(thr > 0)
+    merges = _nn_chain_average(-sim)
+    best_q, best = -np.inf, None
+    for k in range(nc, n1 - 1, -1):
+        labels = _cut_k(n, merges, k)
+        q = _modularity(thr, labels)
+        if q > best_q:
+            best_q, best = q, labels
+    return best
+
+
+def _threshold_cc_labels(sim: np.ndarray, threshold: float) -> np.ndarray:
+    """Union-find components of the thresholded graph — identical semantics
+    to the engine's distributed hash-min CC (the oversized-block path)."""
+    n = sim.shape[0]
+    parent = np.arange(n)
+    ii, jj = np.nonzero(np.triu(sim > threshold, 1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = _uf_find(parent, i), _uf_find(parent, j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([_uf_find(parent, i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels
+
+
+# --------------------------------------------------------------------------
+# DataFrame operator
+# --------------------------------------------------------------------------
+
+def ghac_cluster(
+    scored: DataFrame,
+    members: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "id",
+    score_col: str = "score",
+    threshold: float = 0.3,
+    max_block_rows: int = 2048,
+) -> DataFrame:
+    """Per-block GHAC labels: (block_key, id, component).
+
+    scored: pair rows (block_col, id_a, id_b, score_col);
+    members: (block_col, id_col) — one row per vertex, so vertices with no
+    scored pair still get a (singleton) label.
+
+    component = the lexicographically-smallest member id of the cluster,
+    prefixed by the block key — deterministic and directly comparable to
+    connected_components output. Blocks above ``max_block_rows`` are solved
+    with thresholded union-find (≡ hash-min CC) instead of the dense
+    O(n²) GHAC — the documented scale guard.
+    """
+    edges = scored.select(
+        F.col(block_col).alias("_bk"),
+        F.col("id_a").cast("string").alias("_a"),
+        F.col("id_b").cast("string").alias("_b"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    verts = members.select(
+        F.col(block_col).alias("_bk"),
+        F.col(id_col).cast("string").alias("_a"),
+        F.col(id_col).cast("string").alias("_b"),
+        F.lit(0.0).alias("_s"),
+    )
+    grouped = edges.unionByName(verts)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        bk = pdf["_bk"].iloc[0]
+        ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
+        pos = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        sim = np.zeros((n, n))
+        for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
+            i, j = pos[a], pos[b]
+            if i != j:
+                v = max(s, sim[i, j])
+                sim[i, j] = v
+                sim[j, i] = v
+        if n > max_block_rows:
+            labels = _threshold_cc_labels(sim, threshold)
+        else:
+            labels = ghac_labels(sim, threshold)
+        comp = {}
+        for lbl in np.unique(labels):
+            mem = [ids[i] for i in np.flatnonzero(labels == lbl)]
+            name = f"{bk}#{min(mem)}"
+            for m in mem:
+                comp[m] = name
+        return pd.DataFrame({"block_key": bk, "id": ids, "component": [comp[i] for i in ids]})
+
+    return grouped.groupBy("_bk").applyInPandas(
+        solve, schema="block_key string, id string, component string"
+    )

@@ -48,18 +48,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     block_cols: list[str] | None = None,
     max_rows_per_task: int = 2000,
+    blocking: str = "minhash",
+    bands: int = 16,
+    rows: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by word n-gram Jaccard ≥ threshold within blocks.
 
-    block_cols defaults to a cheap length-bucket (log2 of token count):
-    near-dups at θ ≥ 0.5 cannot differ in size by more than 2× so adjacent
-    buckets are co-probed.
+    Default blocking is MinHash banding over the same n-gram sets (the
+    scale-safe path: candidate count tracks true near-dup density, recall
+    1-(1-θ^rows)^bands). blocking="length" opts into the cheap log2
+    length-bucket scheme — ONLY sound for small or length-diverse corpora:
+    a corpus of similar-length documents collapses into one O(n²) bucket,
+    which skew-splitting can spread across tasks but cannot shrink.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         T.word_ngrams(T.tokenize(F.col(text_col)), n).alias("grams"),
     ).persist()  # barrier: grams referenced by both block keys and payload
-    if block_cols is None:
+    if block_cols is None and blocking == "minhash":
+        keys = banded_keys(base, "id", "grams", bands=bands, rows=rows)
+        pairs = pairs_from_keys(keys, base, id_col="id", max_rows_per_task=max_rows_per_task)
+    elif block_cols is None:
         lb = F.floor(F.log2(F.greatest(F.size("grams"), F.lit(1)) + 1))
         # probe own bucket and the next-lower one (size-ratio bound)
         m = base.withColumn("bk0", lb.cast("string")).withColumn(

@@ -98,6 +98,14 @@ def run_pipeline(
     # ---- stage 0: normalize (barrier: tokenization/shingling/tf-idf must
     # materialize once — Catalyst projection collapse would otherwise
     # re-evaluate it per signature hash / per join side) -----------------------
+    # Input-parallelism guard: a small parquet input arrives as ONE scan
+    # partition (files.maxPartitionBytes), making the compute-heavy
+    # normalize stage single-threaded regardless of core count. At 100 TB
+    # the scan has ~10⁵ partitions and this branch never fires; locally it
+    # is the difference between serial and parallel stage 0.
+    par = spark.sparkContext.defaultParallelism
+    if files.rdd.getNumPartitions() < par:
+        files = files.repartition(par * 2)
     norm = normalize_files(files, staged=True)
     if use_tfidf:
         feats = scoring.tfidf_features(norm.select("id", "tokens"), "id", "tokens")

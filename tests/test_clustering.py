@@ -1,0 +1,146 @@
+"""GHAC per-block exact clustering (G7/G8) vs threshold-CC and numpy oracle."""
+
+import numpy as np
+import pytest
+
+from jmdfane_spark.operators.clustering import (
+    _cut_k,
+    _modularity,
+    _nn_chain_average,
+    _threshold_cc_labels,
+    ghac_cluster,
+    ghac_labels,
+)
+from jmdfane_spark.operators.connected_components import connected_components
+
+
+def _sym(n, edges):
+    m = np.zeros((n, n))
+    for i, j, w in edges:
+        m[i, j] = m[j, i] = w
+    return m
+
+
+def _partition(labels, ids=None):
+    ids = ids or list(range(len(labels)))
+    groups = {}
+    for i, l in zip(ids, labels):
+        groups.setdefault(l, set()).add(i)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_nn_chain_matches_bruteforce_average_linkage():
+    """NN-chain heights == naive O(n³) average-linkage on random matrices."""
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(3, 12))
+        d = rng.random((n, n))
+        d = (d + d.T) / 2
+        np.fill_diagonal(d, 0)
+        merges = _nn_chain_average(d)
+        # naive: repeatedly merge the closest pair under average linkage
+        clusters = [[i] for i in range(n)]
+        naive_heights = []
+        dd = d.copy()
+        act = list(range(n))
+        size = [1] * n
+        while len(act) > 1:
+            best = (np.inf, None)
+            for ai in range(len(act)):
+                for bi in range(ai + 1, len(act)):
+                    v = dd[act[ai], act[bi]]
+                    if v < best[0]:
+                        best = (v, (ai, bi))
+            h, (ai, bi) = best
+            a, b = act[ai], act[bi]
+            naive_heights.append(h)
+            for z in act:
+                if z not in (a, b):
+                    dd[a, z] = dd[z, a] = (size[a] * dd[a, z] + size[b] * dd[b, z]) / (
+                        size[a] + size[b]
+                    )
+            size[a] += size[b]
+            act.remove(b)
+        assert np.allclose(sorted(h for h, _, _ in merges), sorted(naive_heights))
+
+
+def test_ghac_reproduces_threshold_cc_on_clean_blocks():
+    """Two clean cliques with faint cross-talk: GHAC == threshold-CC."""
+    edges = [(0, 1, 0.9), (0, 2, 0.9), (1, 2, 0.9), (3, 4, 0.9), (0, 3, 0.05), (2, 4, 0.05)]
+    sim = _sym(5, edges)
+    assert _partition(ghac_labels(sim, 0.3)) == _partition(_threshold_cc_labels(sim, 0.3))
+    assert _partition(ghac_labels(sim, 0.3)) == _partition([0, 0, 0, 1, 1])
+
+
+def test_ghac_beats_threshold_cc_on_heterogeneous_block():
+    """Adversarial density mix: a spurious above-threshold bridge joins two
+    dense pairs, while a true member hangs below threshold. Threshold-CC
+    errs on both; GHAC's k-scan recovers the true partition."""
+    # true clusters: {0,1}, {2,3}, {4,5,6}
+    edges = [
+        (0, 1, 0.9), (2, 3, 0.9),
+        (1, 2, 0.31),            # spurious bridge, just above threshold
+        (4, 5, 0.9), (4, 6, 0.28), (5, 6, 0.28),  # 6 below threshold
+    ]
+    sim = _sym(7, edges)
+    truth = _partition([0, 0, 1, 1, 2, 2, 2])
+    cc = _partition(_threshold_cc_labels(sim, 0.3))
+    ghac = _partition(ghac_labels(sim, 0.3))
+    assert cc != truth           # CC merges the bridge AND splits node 6
+    assert ghac == truth
+
+
+def test_cut_and_modularity_basics():
+    merges = [(-0.9, 0, 1), (-0.9, 2, 3), (0.0, 0, 2)]
+    assert _partition(_cut_k(4, merges, 2)) == _partition([0, 0, 1, 1])
+    w = _sym(4, [(0, 1, 1.0), (2, 3, 1.0)])
+    assert _modularity(w, np.array([0, 0, 1, 1])) == pytest.approx(0.5)
+    assert _modularity(w, np.array([0, 0, 0, 0])) == pytest.approx(0.0)
+
+
+def test_ghac_cluster_dataframe_operator(spark):
+    scored = spark.createDataFrame(
+        [
+            ("blk", "a1", "a2", 0.9), ("blk", "a3", "a4", 0.9), ("blk", "a2", "a3", 0.31),
+            ("blk", "b1", "b2", 0.9), ("blk", "b1", "b3", 0.28), ("blk", "b2", "b3", 0.28),
+            ("blk2", "x1", "x2", 0.95),
+        ],
+        "block_key string, id_a string, id_b string, score double",
+    )
+    members = spark.createDataFrame(
+        [("blk", v) for v in ["a1", "a2", "a3", "a4", "b1", "b2", "b3"]]
+        + [("blk2", "x1"), ("blk2", "x2"), ("blk2", "lonely")],
+        "block_key string, id string",
+    )
+    rows = ghac_cluster(scored, members, threshold=0.3).collect()
+    comp = {r["id"]: r["component"] for r in rows}
+    assert comp["a1"] == comp["a2"] != comp["a3"]
+    assert comp["a3"] == comp["a4"]
+    assert comp["b1"] == comp["b2"] == comp["b3"]
+    assert comp["x1"] == comp["x2"] != comp["lonely"]
+    assert comp["lonely"] == "blk2#lonely"  # isolated vertex = singleton
+
+
+def test_oversized_block_falls_back_to_cc(spark):
+    """Above max_block_rows the solver switches to union-find — identical
+    partition to the engine's distributed hash-min CC."""
+    scored = spark.createDataFrame(
+        [("big", f"v{i}", f"v{i+1}", 0.9) for i in range(0, 30, 2)]
+        + [("big", "v0", "v2", 0.5)],
+        "block_key string, id_a string, id_b string, score double",
+    )
+    members = spark.createDataFrame(
+        [("big", f"v{i}") for i in range(31)], "block_key string, id string"
+    )
+    small = ghac_cluster(scored, members, threshold=0.3, max_block_rows=5)
+    cc = connected_components(
+        members.select("id"),
+        scored.where("score > 0.3").select("id_a", "id_b"),
+    )
+    got = _partition(
+        [r["component"] for r in small.orderBy("id").collect()],
+        [r["id"] for r in small.orderBy("id").collect()],
+    )
+    want_rows = cc.labels.orderBy("id").collect()
+    want = _partition([r["component"] for r in want_rows], [r["id"] for r in want_rows])
+    assert got == want

@@ -68,6 +68,41 @@ def test_ngram_jaccard_pairs(spark):
         assert abs(got[p] - want[p]) < 1e-6
 
 
+def test_ngram_jaccard_default_blocking_is_not_quadratic(spark):
+    """Scale note: a uniform-length corpus must NOT collapse into one
+    quadratic candidate bucket. Default (MinHash banding) keeps bucket
+    populations tracking true near-dup density; the legacy length-bucket
+    scheme is an explicit opt-in."""
+    # 120 same-length docs: 117 mutually-dissimilar + one planted trio
+    texts = [f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e tok{i}f tok{i}g tok{i}h" for i in range(117)]
+    texts += [
+        "same words repeated here exactly like this one okay",
+        "same words repeated here exactly like this one okay",
+        "same words repeated here exactly like this two okay",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, bands=32, rows=2).collect()
+    }
+    assert (117, 118) in got and (117, 119) in got and (118, 119) in got
+    assert len(got) == 3
+    # the banded key table itself must have no mega-bucket: the legacy
+    # length scheme puts all 120 docs in ONE bucket (7140 pairs); banding
+    # must keep every bucket tiny on this corpus
+    from jmdfane_spark.functions import text as T
+    from jmdfane_spark.operators.minhash import banded_keys
+
+    base = docs.select(
+        F.col("doc_id").alias("id"), T.word_ngrams(T.tokenize(F.col("text")), 3).alias("grams")
+    )
+    biggest = (
+        banded_keys(base, "id", "grams", bands=32, rows=2)
+        .groupBy("block_key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest <= 5, biggest
+
+
 def test_simhash_pairs_exact_dups_and_brute_force(spark):
     from jmdfane_spark.functions import text as T
     from jmdfane_spark.operators.minhash import hamming64, simhash64
