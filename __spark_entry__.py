@@ -629,6 +629,29 @@ def q_eval_munkres_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("block_key", "n", F.round("acc", 6).alias("acc"))
 
 
+def q_er_ghac_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/G8: per-block GHAC (average-linkage + modularity-k scan,
+    reference local_embedding.py:316-364) over token-Jaccard-scored pairs.
+    The dendrogram cut + modularity argmax are not SQL-expressible —
+    driver records rows-only; exactness covered by tests/test_clustering.py
+    (naive-linkage + brute-force oracles)."""
+    from jmdfane_spark.operators.clustering import ghac_cluster
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("lang").alias("block_key"),
+        _tokens(F.col("text")).alias("toks"),
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    scored = pairs.select(
+        "block_key", "id_a", "id_b", S.jaccard(F.col("toks_a"), F.col("toks_b")).alias("score")
+    )
+    out = ghac_cluster(scored, docs.select("block_key", "id"), threshold=0.95)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"), F.col("component").alias("component")
+    )
+
+
 def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: the BASELINE.json per-row invariant as a driver-checkable
     query — content sha256 carried through stage-0 normalization equals
@@ -687,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_nmi_ari": q_eval_nmi_ari,
         "eval_munkres_acc": q_eval_munkres_acc,
         "sha_invariant": q_sha_invariant,
+        "er_ghac_clusters": q_er_ghac_clusters,
     }
 
 

@@ -88,6 +88,7 @@ def run_pipeline(
     emb_dim: int = 32,
     emb_walks: int = 3,
     emb_walk_len: int = 8,
+    clusterer: str = "cc",
 ) -> PipelineResult:
     import time as _time
 
@@ -195,10 +196,10 @@ def run_pipeline(
             )
             weights = scoring.CHANNEL_WEIGHTS_EMB
         # cascade pruning is edge-exact for a fixed threshold; adaptive
-        # per-block thresholds need the full channel vector (A5)
-        scored = scoring.score_pairs(
-            wide, weights=weights, prune_below=None if adaptive else threshold
-        )
+        # per-block thresholds need the full channel vector (A5), and GHAC
+        # needs true sub-threshold scores (it can re-merge below τ)
+        prune = None if (adaptive or clusterer == "ghac") else threshold
+        scored = scoring.score_pairs(wide, weights=weights, prune_below=prune)
         keep = ["block_key", "id_a", "id_b", "content_sha_a", "content_sha_b",
                 "token_jaccard", "shingle_jaccard", "path_sim", "tfidf_cosine",
                 "emb_cosine", "score"]
@@ -218,8 +219,41 @@ def run_pipeline(
     if ck:
         ck.log_metric(stage="scoring", pairs_scored=n_scored)
 
-    # ---- stage 3: connected components --------------------------------------
+    # ---- stage 3: transitive clustering --------------------------------------
     vertices = members.select("id", "block_key", "content_sha")
+
+    if clusterer == "ghac":
+        # per-block exact GHAC (average-linkage + modularity-k scan) — the
+        # fallback when τ-calibration fails on heterogeneous blocks
+        # (reference GHAC, local_embedding.py:316-364). Uses ALL scored
+        # pairs (GHAC needs sub-threshold similarities to re-merge), not
+        # just the thresholded edge set.
+        from ..operators.clustering import ghac_cluster
+
+        # GHAC is per-block: re-key every pair to the members' OWN block
+        # (a banded pair's block_key is a min over composite keys) and drop
+        # the rare cross-block band pairs — blocking is a hard boundary in
+        # the reference (SURVEY §1.3), and a pair spanning two GHAC groups
+        # would get conflicting labels.
+        mb = members.select("id", "block_key")
+        p2 = (
+            scored.select("id_a", "id_b", "score")
+            .join(mb.select(F.col("id").alias("id_a"), F.col("block_key").alias("_ba")), "id_a")
+            .join(mb.select(F.col("id").alias("id_b"), F.col("block_key").alias("_bb")), "id_b")
+        )
+        same_block = p2.where(F.col("_ba") == F.col("_bb")).select(
+            F.col("_ba").alias("block_key"), "id_a", "id_b", "score"
+        )
+        glabels = ghac_cluster(
+            same_block,
+            vertices.select("block_key", "id"),
+            threshold=threshold,
+        ).withColumnRenamed("block_key", "_gbk")
+        metrics["t_cc"] = round(_time.time() - _t0, 2)
+        labels = vertices.join(glabels.select("id", "component"), "id").select(
+            "block_key", "id", "component", "content_sha"
+        )
+        return PipelineResult(labels=labels, metrics=metrics)
 
     cc = connected_components(
         vertices.select("id"), edges.select("id_a", "id_b"), checkpointer=ck

@@ -37,6 +37,15 @@ def test_flagship_f1_with_embedding_channel(spark, fixture_dfs):
     assert m["f1"] >= 0.99, m
 
 
+def test_flagship_f1_with_ghac_clusterer(spark, fixture_dfs):
+    """Stage-3 alternative: per-block GHAC (reference G7/G8) reproduces the
+    planted clusters on the fixture just like threshold-CC."""
+    files, labels, lpairs = fixture_dfs
+    res = run_pipeline(spark, files, use_bands=False, use_tfidf=True, clusterer="ghac")
+    m = pairwise_f1_on_labeled_pairs(res.labels, lpairs)
+    assert m["f1"] >= 0.99, m
+
+
 def test_sha_invariant(spark, fixture_dfs):
     files, _, _ = fixture_dfs
     res = run_pipeline(spark, files, use_bands=False, use_tfidf=False)
