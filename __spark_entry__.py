@@ -652,6 +652,24 @@ def q_er_ghac_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_bag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: multiset char-bag distance between names (reference
+    repare_data_name.py:48-65) over customer-name pairs."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 30)
+        .select(F.col("c_custkey").cast("long").alias("k"), F.lower(F.col("c_name")).alias("nm"))
+    )
+    a = c.select(F.col("k").alias("cust_a"), F.col("nm").alias("na"))
+    b = c.select(F.col("k").alias("cust_b"), F.col("nm").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("cust_a") < F.col("cust_b"))
+    return pairs.select(
+        "cust_a",
+        "cust_b",
+        S.char_bag_distance(F.col("na"), F.col("nb")).cast("long").alias("char_bag_dist"),
+    )
+
+
 def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: the BASELINE.json per-row invariant as a driver-checkable
     query — content sha256 carried through stage-0 normalization equals
@@ -711,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_munkres_acc": q_eval_munkres_acc,
         "sha_invariant": q_sha_invariant,
         "er_ghac_clusters": q_er_ghac_clusters,
+        "char_bag_names": q_char_bag_names,
     }
 
 
@@ -1015,5 +1034,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::bigint AS doc_id, sha256(text) AS content_sha,
                    1::bigint AS matches_source
             FROM documents
+        """,
+        "char_bag_names": """
+            WITH c AS (SELECT c_custkey AS k, lower(c_name) AS nm
+                       FROM customer WHERE c_custkey < 30),
+            p AS (SELECT a.k AS cust_a, b.k AS cust_b, a.nm AS na, b.nm AS nb
+                  FROM c a JOIN c b ON a.k < b.k)
+            SELECT cust_a::bigint AS cust_a, cust_b::bigint AS cust_b,
+                   list_sum(list_transform(
+                     list_distinct(string_split(na || nb, '')),
+                     ch -> abs(len(list_filter(string_split(na, ''), x -> x = ch))
+                             - len(list_filter(string_split(nb, ''), x -> x = ch)))
+                   ))::bigint AS char_bag_dist
+            FROM p
         """,
     }

@@ -66,6 +66,26 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def char_bag_distance(a: Column, b: Column) -> Column:
+    """Multiset symmetric-difference count between two strings' characters
+    (F4) — the reference's name-matching distance
+    (src/pre_data/repare_data_name.py:48-65, duplicate at
+    generate_adj.py:38-55): Σ_c |count(a,c) − count(b,c)| over every char
+    appearing in either string. Pure column math, null-safe (null → full
+    length of the other side)."""
+    ca = F.filter(F.split(F.coalesce(a, F.lit("")), ""), lambda x: x != "")
+    cb = F.filter(F.split(F.coalesce(b, F.lit("")), ""), lambda x: x != "")
+    chars = F.array_distinct(F.concat(ca, cb))
+    return F.aggregate(
+        chars,
+        F.lit(0),
+        lambda acc, ch: acc
+        + F.abs(
+            F.size(F.filter(ca, lambda x: x == ch)) - F.size(F.filter(cb, lambda x: x == ch))
+        ),
+    )
+
+
 def containment(a: Column, b: Column) -> Column:
     """|a∩b| / min(|a|,|b|) — robust to size-skewed near-dups."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -1,5 +1,7 @@
-"""Per-block exact clustering: GHAC — average-linkage agglomerative with a
-modularity-guided k scan (G7/G8 fallback to threshold-CC).
+"""Per-block exact clustering: GHAC (average-linkage + modularity k-scan,
+G8) and normalized spectral clustering with known k (G7) — the exact
+per-block solvers the reference's headline runs use, as applyInPandas
+operators with a threshold-CC fallback for oversized blocks.
 
 Reference semantics (src/local_embedding/local_embedding.py:316-364; the
 variant at src/cluster_pred/cluster_predict.py:258-307 differs only in
@@ -150,6 +152,125 @@ def ghac_labels(sim: np.ndarray, threshold: float = 0.3) -> np.ndarray:
         if q > best_q:
             best_q, best = q, labels
     return best
+
+
+def _kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray:
+    """Deterministic Lloyd k-means with k-means++ seeding (seeded RNG)."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    centers = [x[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((x - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        tot = d2.sum()
+        if tot == 0:
+            centers.append(x[int(rng.integers(n))])
+            continue
+        centers.append(x[int(rng.choice(n, p=d2 / tot))])
+    c = np.array(centers)
+    labels = np.zeros(n, dtype=int)
+    for it in range(iters):
+        dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        new_labels = dist.argmin(axis=1)
+        if it > 0 and (new_labels == labels).all():
+            break
+        labels = new_labels
+        for j in range(k):
+            pts = x[labels == j]
+            if len(pts):
+                c[j] = pts.mean(axis=0)
+    return labels
+
+
+def spectral_labels(sim: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
+    """Normalized spectral clustering with known k over one block's
+    similarity matrix (reference: SpectralClustering(n_clusters=k,
+    affinity='precomputed') at local_embedding.py:242-271,517-519 — the
+    headline 真实簇个数 runs). Top-k eigenvectors of D^-½·W·D^-½
+    (numpy eigh), row-normalized, then deterministic k-means."""
+    n = sim.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=int)
+    if k >= n:
+        return np.arange(n)
+    if k <= 1:
+        return np.zeros(n, dtype=int)
+    d = sim.sum(axis=1)
+    inv_sqrt = np.where(d > 0, 1.0 / np.sqrt(np.where(d > 0, d, 1.0)), 0.0)
+    m = sim * inv_sqrt[:, None] * inv_sqrt[None, :]
+    vals, vecs = np.linalg.eigh(m)
+    u = vecs[:, -k:]
+    norms = np.linalg.norm(u, axis=1, keepdims=True)
+    u = u / np.where(norms > 0, norms, 1.0)
+    return _kmeans(u, k, seed=seed)
+
+
+def spectral_cluster(
+    scored: DataFrame,
+    members: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "id",
+    score_col: str = "score",
+    k_col: str | None = None,
+    threshold: float = 0.3,
+    max_block_rows: int = 2048,
+) -> DataFrame:
+    """Per-block spectral clustering: (block_key, id, component).
+
+    k per block comes from ``k_col`` on members (the reference's true-k
+    runs) or, when None, from the thresholded component count (the
+    predicted-k analogue). Oversized blocks fall back to thresholded
+    union-find like ghac_cluster.
+    """
+    edges = scored.select(
+        F.col(block_col).alias("_bk"),
+        F.col("id_a").cast("string").alias("_a"),
+        F.col("id_b").cast("string").alias("_b"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.lit(None).cast("long").alias("_k"),
+    )
+    kv = F.col(k_col).cast("long") if k_col else F.lit(None).cast("long")
+    verts = members.select(
+        F.col(block_col).alias("_bk"),
+        F.col(id_col).cast("string").alias("_a"),
+        F.col(id_col).cast("string").alias("_b"),
+        F.lit(0.0).alias("_s"),
+        kv.alias("_k"),
+    )
+    grouped = edges.unionByName(verts)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        bk = pdf["_bk"].iloc[0]
+        ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
+        pos = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        sim = np.zeros((n, n))
+        for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
+            i, j = pos[a], pos[b]
+            if i != j:
+                v = max(s, sim[i, j])
+                sim[i, j] = v
+                sim[j, i] = v
+        ks = pdf["_k"].dropna()
+        if n > max_block_rows:
+            labels = _threshold_cc_labels(sim, threshold)
+        else:
+            thr = sim.copy()
+            thr[thr <= threshold] = 0.0
+            k = int(ks.iloc[0]) if len(ks) else int(_n_components(thr > 0))
+            labels = spectral_labels(sim, k)
+        comp = {}
+        for lbl in np.unique(labels):
+            mem = [ids[i] for i in np.flatnonzero(labels == lbl)]
+            name = f"{bk}#{min(mem)}"
+            for m_ in mem:
+                comp[m_] = name
+        return pd.DataFrame({"block_key": bk, "id": ids, "component": [comp[i] for i in ids]})
+
+    return grouped.groupBy("_bk").applyInPandas(
+        solve, schema="block_key string, id string, component string"
+    )
 
 
 def _threshold_cc_labels(sim: np.ndarray, threshold: float) -> np.ndarray:

@@ -10,6 +10,8 @@ from jmdfane_spark.operators.clustering import (
     _threshold_cc_labels,
     ghac_cluster,
     ghac_labels,
+    spectral_cluster,
+    spectral_labels,
 )
 from jmdfane_spark.operators.connected_components import connected_components
 
@@ -96,6 +98,44 @@ def test_cut_and_modularity_basics():
     w = _sym(4, [(0, 1, 1.0), (2, 3, 1.0)])
     assert _modularity(w, np.array([0, 0, 1, 1])) == pytest.approx(0.5)
     assert _modularity(w, np.array([0, 0, 0, 0])) == pytest.approx(0.0)
+
+
+def test_spectral_labels_separate_cliques():
+    """Spectral with true k recovers planted cliques (G7, reference
+    true-k runs) even when weak cross-talk would fool threshold-CC."""
+    edges = (
+        [(i, j, 0.9) for i in range(3) for j in range(3) if i < j]
+        + [(i, j, 0.9) for i in range(3, 6) for j in range(3, 6) if i < j]
+        + [(0, 3, 0.35)]  # spurious above-threshold bridge
+    )
+    sim = _sym(6, edges)
+    got = _partition(spectral_labels(sim, 2))
+    assert got == _partition([0, 0, 0, 1, 1, 1])
+    # deterministic across calls
+    assert _partition(spectral_labels(sim, 2)) == got
+    # three planted groups, k=3
+    edges3 = edges + [(6, 7, 0.9)]
+    sim3 = _sym(8, edges3)
+    assert _partition(spectral_labels(sim3, 3)) == _partition([0, 0, 0, 1, 1, 1, 2, 2])
+
+
+def test_spectral_cluster_dataframe_operator(spark):
+    scored = spark.createDataFrame(
+        [("blk", "a1", "a2", 0.9), ("blk", "b1", "b2", 0.9), ("blk", "a1", "b1", 0.2)],
+        "block_key string, id_a string, id_b string, score double",
+    )
+    members = spark.createDataFrame(
+        [("blk", v, 2) for v in ["a1", "a2", "b1", "b2"]],
+        "block_key string, id string, true_k int",
+    )
+    rows = spectral_cluster(scored, members, k_col="true_k").collect()
+    comp = {r["id"]: r["component"] for r in rows}
+    assert comp["a1"] == comp["a2"] != comp["b1"]
+    assert comp["b1"] == comp["b2"]
+    # predicted-k path (no k_col): thresholded components give k=2 here too
+    rows2 = spectral_cluster(scored, members.drop("true_k")).collect()
+    comp2 = {r["id"]: r["component"] for r in rows2}
+    assert comp2["a1"] == comp2["a2"] != comp2["b1"]
 
 
 def test_ghac_cluster_dataframe_operator(spark):
