@@ -652,6 +652,36 @@ def q_er_ghac_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_scored_pairs_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joint fusion with the embedding channel as a first-class
+    dimension (reference HIN channel fusion, model.py:34-58): within-lang
+    doc pairs scored 0.5·token_jaccard + 0.5·embedding_cosine, fully
+    DuckDB-oracled (embeddings joined on doc_id = vec_id)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("lang").alias("block_key"),
+            _tokens(F.col("text")).alias("toks"),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    m = docs.join(emb, "id")
+    pairs = blocked_pairs(m, "block_key", "id", max_rows_per_task=500)
+    tok = S.jaccard(F.col("toks_a"), F.col("toks_b"))
+    cos = S.cosine(F.col("vec_a"), F.col("vec_b"))
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round(tok, 6).alias("token_jaccard"),
+        F.round(cos, 6).alias("emb_cosine"),
+        F.round(0.5 * tok + 0.5 * cos, 6).alias("score"),
+    )
+
+
 def q_char_bag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: multiset char-bag distance between names (reference
     repare_data_name.py:48-65) over customer-name pairs."""
@@ -730,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_invariant": q_sha_invariant,
         "er_ghac_clusters": q_er_ghac_clusters,
         "char_bag_names": q_char_bag_names,
+        "er_scored_pairs_emb": q_er_scored_pairs_emb,
     }
 
 
@@ -1047,5 +1078,29 @@ def oracle_sql() -> dict[str, str]:
                              - len(list_filter(string_split(nb, ''), x -> x = ch)))
                    ))::bigint AS char_bag_dist
             FROM p
+        """,
+        "er_scored_pairs_emb": f"""
+            WITH t AS (SELECT doc_id, lang, {SQL_TOKS.format(c="text")} AS tk FROM documents
+                       WHERE doc_id < 60),
+            m AS (SELECT t.doc_id, t.lang, t.tk, e.embedding::DOUBLE[] AS v
+                  FROM t JOIN embeddings e ON t.doc_id = e.vec_id),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.tk AS ta, b.tk AS tb, a.v AS va, b.v AS vb
+                  FROM m a JOIN m b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+            s AS (SELECT doc_a, doc_b,
+                    CASE WHEN len(list_distinct(list_concat(ta, tb))) > 0 THEN
+                      round(len(list_intersect(ta, tb))::double
+                            / len(list_distinct(list_concat(ta, tb))), 9)
+                    ELSE 0.0 END AS tj,
+                    CASE WHEN sqrt(list_dot_product(va, va)) > 0
+                          AND sqrt(list_dot_product(vb, vb)) > 0 THEN
+                      list_dot_product(va, vb)
+                        / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+                    ELSE 0.0 END AS ec
+                  FROM p)
+            SELECT doc_a::bigint AS doc_a, doc_b::bigint AS doc_b,
+                   round(tj, 6) AS token_jaccard, round(ec, 6) AS emb_cosine,
+                   round(0.5 * tj + 0.5 * ec, 6) AS score
+            FROM s
         """,
     }
