@@ -144,8 +144,13 @@ def run_pipeline(
     # downstream cost is compute-per-pair — without an explicit repartition
     # the scoring stage runs on a handful of partitions no matter how many
     # cores exist (measured: local[32] slower than local[8]). Round-robin
-    # repartition the cheap skinny rows to full parallelism.
-    n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    # repartition the cheap skinny rows to the configured shuffle width
+    # (data-sized, like every other shuffle), floored at full parallelism.
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_part = 0
+    n_part = max(n_part, spark.sparkContext.defaultParallelism * 2, 8)
     pairs = pairs.repartition(n_part).persist()
     n_pairs = pairs.count()
     metrics["pairs_generated"] = n_pairs
