@@ -682,6 +682,33 @@ def q_er_scored_pairs_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: per-block cluster-count estimation — the reference's 预估簇个数
+    runs estimate k per name block (src/cluster_pred/cluster_predict.py).
+    Our predicted-k = thresholded-component count per block (the same k
+    spectral_cluster uses when no true k is given); oracle = recursive-CTE
+    transitive closure counted per block."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("lang").alias("block_key"),
+        _tokens(F.col("text")).alias("toks"),
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    edges = pairs.withColumn("j", S.jaccard(F.col("toks_a"), F.col("toks_b"))).where(
+        F.col("j") >= 0.95
+    )
+    cc = connected_components(docs.select("id"), edges.select("id_a", "id_b"))
+    return (
+        docs.select("id", "block_key")
+        .join(cc.labels, "id")
+        .groupBy("block_key")
+        .agg(
+            F.countDistinct("component").cast("long").alias("k_estimate"),
+            F.count("*").cast("long").alias("n_mentions"),
+        )
+    )
+
+
 def q_char_bag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: multiset char-bag distance between names (reference
     repare_data_name.py:48-65) over customer-name pairs."""
@@ -761,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_ghac_clusters": q_er_ghac_clusters,
         "char_bag_names": q_char_bag_names,
         "er_scored_pairs_emb": q_er_scored_pairs_emb,
+        "cluster_count_estimate": q_cluster_count_estimate,
     }
 
 
@@ -1102,5 +1130,27 @@ def oracle_sql() -> dict[str, str]:
                    round(tj, 6) AS token_jaccard, round(ec, 6) AS emb_cosine,
                    round(0.5 * tj + 0.5 * ec, 6) AS score
             FROM s
+        """,
+        "cluster_count_estimate": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, lang, {SQL_TOKS.format(c="text")} AS tk FROM documents),
+            p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE CASE WHEN len(list_distinct(list_concat(a.tk, b.tk))) > 0 THEN
+                len(list_intersect(a.tk, b.tk))::double / len(list_distinct(list_concat(a.tk, b.tk)))
+                ELSE 0.0 END >= 0.95
+            ),
+            e AS (SELECT ia, ib FROM p UNION SELECT ib, ia FROM p),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM t
+              UNION
+              SELECT reach.id, e.ib FROM reach JOIN e ON reach.r = e.ia
+            ),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+            SELECT t.lang AS block_key,
+                   count(DISTINCT comp.component)::bigint AS k_estimate,
+                   count(*)::bigint AS n_mentions
+            FROM t JOIN comp ON t.doc_id = comp.id
+            GROUP BY 1
         """,
     }

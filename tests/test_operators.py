@@ -119,3 +119,13 @@ def test_text_functions(spark):
     assert r.toks == ["hello", "world", "42", "xx"]
     assert r.n == 7
     assert r.stem == "parseconfig"
+
+
+def test_char_bag_distance(spark):
+    """F4: multiset char symmetric difference (repare_data_name.py:48-65)."""
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("aab", "abb"), ("abc", "xyz"), ("", "ab"), (None, "ab")],
+        "a string, b string",
+    )
+    got = [r.d for r in df.select(S.char_bag_distance(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert got == [0, 2, 6, 2, 2]

@@ -30,10 +30,10 @@ cores = int(sys.argv[1]); sf_dir = sys.argv[2]
 # cluster partitions are sized by the DATA (so per-task sort state fits
 # execution memory), then the executor count is varied — sizing them by
 # core count would give the two legs different per-task spill behavior
-# and make the efficiency ratio incomparable. 256 ≈ 57k pair-rows/task on
-# this 14.5M-pair workload — small enough that per-block cost variance
-# packs well into waves, large enough that scheduling overhead is noise.
-spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=256,
+# and make the efficiency ratio incomparable. 128 ≈ 113k pair-rows/task
+# on this 14.5M-pair workload — measured the sweet spot (64 spills at 4
+# cores; 256 pays ~1.4x shuffle-segment overhead at 16 cores).
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=128,
                   app_name=f"scaling-{{cores}}")
 # deterministic skewed corpus mirroring the reference's worst block
 # (3228 mentions, sna_test ground truth) — big enough that per-pair
