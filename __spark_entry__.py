@@ -331,24 +331,26 @@ def q_txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape (A1-style partial+final agg); money as decimal(18,2)."""
+    """TPC-H Q1 shape (A1-style partial+final agg); money as integer cents.
+
+    Money/qty outputs are BIGINT cents by construction: per-row
+    round(x*100) -> long, summed as long. Integer columns are
+    representation-free — no decimal-widening (Spark sum(decimal(18,2))
+    -> decimal(28,2) vs DuckDB -> DECIMAL(38,2)) or rounding-mode
+    ambiguity can survive into the driver's value hash. avg_disc derives
+    from the integer sum with ONE double division, the same green
+    pattern as idf/block_stats.
+    """
     li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # bround (half-even) BEFORE the decimal cast: Spark's double->decimal
-            # cast rounds HALF_UP while DuckDB's CAST rounds half-even, so any
-            # .xx5-representable value (0.125, 0.375, ...) diverges otherwise.
-            F.sum(F.bround(F.col("l_quantity"), 2).cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.bround(F.col("l_extendedprice"), 2).cast("decimal(18,2)")).alias("sum_price"),
-            # exact decimal sum then ONE double division — double avg() drifts
-            # in the 6th decimal with summation order (Spark vs DuckDB thread
-            # interleavings); round(double) is half-away-from-zero in both.
-            F.round(
-                F.sum(F.bround(F.col("l_discount"), 2).cast("decimal(18,2)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_disc"),
+            F.sum(qty_c).alias("sum_qty_cents"),
+            F.sum(price_c).alias("sum_price_cents"),
+            F.round(F.sum(disc_c).cast("double") / 100.0 / F.count("*"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -363,7 +365,9 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.bround(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias("total"),
+            # integer cents — same representation-free discipline as
+            # tpch_pricing_summary (decimal widening differs across engines)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
         )
     )
 
@@ -379,8 +383,10 @@ def q_join_supplier_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("n_suppliers"),
+            # integer-cents sum then one double division (representation-free)
             F.round(
-                F.sum(F.bround(F.col("s_acctbal"), 2).cast("decimal(18,2)")).cast("double")
+                F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).cast("double")
+                / 100.0
                 / F.count("*"),
                 4,
             ).alias("avg_bal"),
@@ -424,7 +430,8 @@ def q_dedup_first_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").cast("long").alias("orderkey"),
             F.col("l_partkey").cast("long").alias("partkey"),
-            F.bround(F.col("l_quantity"), 2).cast("decimal(18,2)").alias("quantity"),
+            # integer cents (representation-free; see q_tpch_pricing_summary)
+            F.round(F.col("l_quantity") * 100).cast("long").alias("quantity_cents"),
         )
     )
 
@@ -937,22 +944,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "join_orders_customer": """
             SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
                    count(*) AS n_orders,
-                   sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "join_supplier_nation_region": """
             SELECT r.r_name AS region, count(*) AS n_suppliers,
-                   round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_bal
+                   round(CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_bal
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1
@@ -968,7 +975,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_first_per_order": """
             SELECT l_orderkey::bigint AS orderkey, l_partkey::bigint AS partkey,
-                   CAST(l_quantity AS DECIMAL(18,2)) AS quantity
+                   CAST(round(l_quantity * 100) AS BIGINT) AS quantity_cents
             FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
                     ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC,
                              l_quantity ASC, l_extendedprice ASC) rn

@@ -49,17 +49,21 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     max_rows_per_task: int = 2000,
     blocking: str = "minhash",
-    bands: int = 16,
-    rows: int = 4,
+    bands: int = 32,
+    rows: int = 2,
 ) -> DataFrame:
     """Near-dup pairs by word n-gram Jaccard ≥ threshold within blocks.
 
     Default blocking is MinHash banding over the same n-gram sets (the
     scale-safe path: candidate count tracks true near-dup density, recall
-    1-(1-θ^rows)^bands). blocking="length" opts into the cheap log2
-    length-bucket scheme — ONLY sound for small or length-diverse corpora:
-    a corpus of similar-length documents collapses into one O(n²) bucket,
-    which skew-splitting can spread across tasks but cannot shrink.
+    1-(1-θ^rows)^bands). The 32×2 default is near-lossless at the
+    operator's own default threshold: miss probability at j=0.6 is
+    (1-0.36)^32 ≈ 6e-7 (the r2 default 16×4 missed ~11% of borderline
+    j=0.6 pairs — a correctness-visible recall gap). blocking="length"
+    opts into the cheap log2 length-bucket scheme — ONLY sound for small
+    or length-diverse corpora: a corpus of similar-length documents
+    collapses into one O(n²) bucket, which skew-splitting can spread
+    across tasks but cannot shrink.
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -161,7 +165,6 @@ def embedding_near_dup_pairs(
     j of plane p = (xxhash64(p, j) mod 2001 - 1000)/1000 — no RNG state.
     Bucket key = sign bits of the projections; verify with exact cosine.
     """
-    dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
 
     def plane_component(p: int):
@@ -172,10 +175,15 @@ def embedding_near_dup_pairs(
 
     sig_bits = []
     for p in range(planes):
+        # vector dim comes from each row's own array size — no driver-side
+        # .first() probe job (dims are uniform per corpus, so the per-row
+        # sequence() is the same plan constant-folded against size(vec))
         proj = F.aggregate(
             F.zip_with(
                 F.col("vec"),
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_component(p)),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("vec")) - 1), plane_component(p)
+                ),
                 lambda x, h: x.cast("double") * h,
             ),
             F.lit(0.0),

@@ -94,6 +94,10 @@ def random_walks(
         F.col("u").alias("cur"),
         F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("walk_id"),
     ).select("walk_id", "cur", F.array("cur").alias("path"))
+    # terminated walks leave the frontier immediately — on truncation-heavy
+    # metapath graphs a dead walk would otherwise ride (and pay join
+    # traffic for) every one of the remaining walk_len−1 steps
+    finished = walks.where(F.lit(False)).select("walk_id", "path")
 
     denom = float(1 << 30)
     for step in range(1, walk_len):
@@ -107,35 +111,34 @@ def random_walks(
         idx = F.least(
             F.size(F.filter(F.col("cum"), lambda c: c <= target)) + 1, F.size("nbrs")
         )
-        walks = (
-            walks.join(
-                adj_t.select(F.col("u").alias("cur"), "nbrs", "cum", "total"), "cur", "left"
-            )
-            .select(
-                "walk_id",
-                "path",
-                F.when(
-                    F.col("nbrs").isNotNull() & (F.col("total") > 0),
-                    F.element_at("nbrs", idx.cast("int"))["v"],
-                ).alias("nxt"),
-            )
-            .select(
-                "walk_id",
-                # a walk with no neighbor of the scheduled type TERMINATES
-                # (cur → NULL, never extended again) — the reference breaks
-                # out of the walk loop, it does not stall-and-retry
-                # (meta2vec.py:127-145); a revived walk would stitch edges
-                # that skip metapath positions
-                F.col("nxt").alias("cur"),
-                F.when(F.col("nxt").isNotNull(), F.concat("path", F.array("nxt")))
-                .otherwise(F.col("path"))
-                .alias("path"),
-            )
+        stepped = walks.join(
+            adj_t.select(F.col("u").alias("cur"), "nbrs", "cum", "total"), "cur", "left"
+        ).select(
+            "walk_id",
+            "path",
+            F.when(
+                F.col("nbrs").isNotNull() & (F.col("total") > 0),
+                F.element_at("nbrs", idx.cast("int"))["v"],
+            ).alias("nxt"),
+        )
+        # a walk with no neighbor of the scheduled type TERMINATES (never
+        # extended again) — the reference breaks out of the walk loop, it
+        # does not stall-and-retry (meta2vec.py:127-145); a revived walk
+        # would stitch edges that skip metapath positions
+        finished = finished.unionByName(
+            stepped.where(F.col("nxt").isNull()).select("walk_id", "path")
+        )
+        walks = stepped.where(F.col("nxt").isNotNull()).select(
+            "walk_id",
+            F.col("nxt").alias("cur"),
+            F.concat("path", F.array("nxt")).alias("path"),
         )
         if step % 5 == 0:
             walks = walks.localCheckpoint()  # bound iterative plan growth
+            finished = finished.localCheckpoint()  # union chain grows too
     adj.unpersist()
-    return walks.select("walk_id", F.element_at("path", 1).alias("start"), "path")
+    out = walks.select("walk_id", "path").unionByName(finished)
+    return out.select("walk_id", F.element_at("path", 1).alias("start"), "path")
 
 
 def train_node_embeddings(

@@ -89,7 +89,22 @@ def run_pipeline(
     emb_walks: int = 3,
     emb_walk_len: int = 8,
     clusterer: str = "cc",
+    true_k: DataFrame | None = None,
+    channel_weights: dict[str, float] | None = None,
 ) -> PipelineResult:
+    """clusterer: "cc" (distributed hash-min connected components),
+    "ghac" (per-block average-linkage + modularity k-scan), or "spectral"
+    (per-block normalized spectral clustering — the reference's headline
+    true-cluster-count configuration, local_embedding.py:242-271,517-519).
+
+    true_k: optional (block_key, k) table of per-block true cluster counts
+    for clusterer="spectral"; when None, k falls back to the thresholded
+    component count (the predicted-k analogue, cluster_predict.py).
+
+    channel_weights: optional fused-score weights (e.g. from
+    ``scoring.fit_channel_weights`` on labeled pairs); None → the fixed
+    defaults.
+    """
     import time as _time
 
     ck = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
@@ -169,7 +184,7 @@ def run_pipeline(
         pa = payload.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in pcols])
         pb = payload.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in pcols])
         wide = pairs.join(pa, "id_a").join(pb, "id_b")
-        weights = None
+        weights = channel_weights
         if use_embedding:
             # two-pass fusion, mirroring the reference's flow: channel
             # graphs are built FIRST, the HIN embedding is trained on that
@@ -199,11 +214,12 @@ def run_pipeline(
                 "id_b",
                 "left",
             )
-            weights = scoring.CHANNEL_WEIGHTS_EMB
+            weights = channel_weights or scoring.CHANNEL_WEIGHTS_EMB
         # cascade pruning is edge-exact for a fixed threshold; adaptive
-        # per-block thresholds need the full channel vector (A5), and GHAC
-        # needs true sub-threshold scores (it can re-merge below τ)
-        prune = None if (adaptive or clusterer == "ghac") else threshold
+        # per-block thresholds need the full channel vector (A5), and the
+        # per-block dense clusterers need true sub-threshold scores (GHAC
+        # can re-merge below τ; spectral embeds the full similarity matrix)
+        prune = None if (adaptive or clusterer in ("ghac", "spectral")) else threshold
         scored = scoring.score_pairs(wide, weights=weights, prune_below=prune)
         keep = ["block_key", "id_a", "id_b", "content_sha_a", "content_sha_b",
                 "token_jaccard", "shingle_jaccard", "path_sim", "tfidf_cosine",
@@ -227,37 +243,67 @@ def run_pipeline(
     # ---- stage 3: transitive clustering --------------------------------------
     vertices = members.select("id", "block_key", "content_sha")
 
-    if clusterer == "ghac":
-        # per-block exact GHAC (average-linkage + modularity-k scan) — the
-        # fallback when τ-calibration fails on heterogeneous blocks
-        # (reference GHAC, local_embedding.py:316-364). Uses ALL scored
-        # pairs (GHAC needs sub-threshold similarities to re-merge), not
-        # just the thresholded edge set.
-        from ..operators.clustering import ghac_cluster
+    if clusterer in ("ghac", "spectral"):
+        # per-block exact solvers — GHAC (average-linkage + modularity-k
+        # scan, reference local_embedding.py:316-364) or normalized
+        # spectral clustering (the reference's headline true-cluster-count
+        # runs, local_embedding.py:242-271,517-519). Both use ALL scored
+        # pairs (sub-threshold similarities matter: GHAC can re-merge
+        # below τ, spectral embeds the full similarity matrix), not just
+        # the thresholded edge set.
+        from ..operators.clustering import ghac_cluster, spectral_cluster
 
-        # GHAC is per-block: re-key every pair to the members' OWN block
+        # Per-block solvers: re-key every pair to the members' OWN block
         # (a banded pair's block_key is a min over composite keys) and drop
         # the rare cross-block band pairs — blocking is a hard boundary in
-        # the reference (SURVEY §1.3), and a pair spanning two GHAC groups
+        # the reference (SURVEY §1.3), and a pair spanning two groups
         # would get conflicting labels.
         mb = members.select("id", "block_key")
         p2 = (
             scored.select("id_a", "id_b", "score")
             .join(mb.select(F.col("id").alias("id_a"), F.col("block_key").alias("_ba")), "id_a")
             .join(mb.select(F.col("id").alias("id_b"), F.col("block_key").alias("_bb")), "id_b")
+            .persist()
         )
         same_block = p2.where(F.col("_ba") == F.col("_bb")).select(
             F.col("_ba").alias("block_key"), "id_a", "id_b", "score"
         )
-        glabels = ghac_cluster(
-            same_block,
-            vertices.select("block_key", "id"),
-            threshold=threshold,
-        ).withColumnRenamed("block_key", "_gbk")
+        n_same = same_block.count()
+        n_cross_dropped = n_scored - n_same
+        metrics["cross_block_pairs_dropped"] = n_cross_dropped
+        if clusterer == "spectral":
+            mk = vertices.select("block_key", "id")
+            if true_k is not None:
+                mk = mk.join(
+                    F.broadcast(true_k.select("block_key", F.col("k").alias("_true_k"))),
+                    "block_key",
+                    "left",
+                )
+                k_col = "_true_k"
+            else:
+                k_col = None
+            glabels = spectral_cluster(
+                same_block, mk, k_col=k_col, threshold=threshold
+            )
+        else:
+            glabels = ghac_cluster(
+                same_block,
+                vertices.select("block_key", "id"),
+                threshold=threshold,
+            )
+        glabels = glabels.withColumnRenamed("block_key", "_gbk")
         metrics["t_cc"] = round(_time.time() - _t0, 2)
         labels = vertices.join(glabels.select("id", "component"), "id").select(
             "block_key", "id", "component", "content_sha"
         )
+        p2.unpersist()
+        if ck:
+            ck.log_metric(
+                stage="cluster",
+                clusterer=clusterer,
+                cross_block_pairs_dropped=n_cross_dropped,
+            )
+            ck.flush_metrics()
         return PipelineResult(labels=labels, metrics=metrics)
 
     cc = connected_components(

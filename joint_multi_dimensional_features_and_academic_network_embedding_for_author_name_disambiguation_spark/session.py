@@ -31,18 +31,20 @@ def get_spark(
         builder = builder.master(master)
 
     if shuffle_partitions is None:
-        # Default: 8× parallelism locally. 2× looks natural but makes each
-        # sort-merge-join reducer sort ~4× more rows than execution memory
-        # comfortably holds on pair-heavy stages — measured on the 14.5M-pair
-        # scaling workload: 16 cores went 732s → 385s (scoring stage) purely
-        # from 2×→8× partitions, with identical heap. Small queries are
-        # unaffected: AQE coalesces tiny shuffles back down by bytes. A real
+        # Default: 8× parallelism, CAPPED at 128. Partition count should be
+        # sized by the DATA (per-task sort state vs execution memory), not
+        # by core count alone: on the 14.5M-pair scaling workload 128
+        # partitions is the measured sweet spot (64 spills at low core
+        # counts; 256 pays ~1.4× shuffle-segment overhead — the uncapped
+        # 8×32=256 default regressed the 32-core headline bench 1.4× in r2).
+        # The 8× floor keeps small-core runs from under-splitting sort
+        # state; AQE coalesces tiny shuffles back down by bytes. A real
         # cluster overrides via spark-submit --conf.
         try:
             n = int(master.split("[")[1].rstrip("]")) if master and "[" in master else 32
         except ValueError:
             n = 32
-        shuffle_partitions = max(16, 8 * n)
+        shuffle_partitions = max(16, min(8 * n, 128))
 
     conf = {
         # Classic (non-ANSI) SQL semantics: silent overflow wrap + null-on-

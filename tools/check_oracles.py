@@ -26,16 +26,20 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    # FULL-precision canonicalization: repr round-trips doubles exactly and
+    # str(Decimal) keeps scale/width, so this gate is at least as strict as
+    # any driver-side value hash. (The r1/r2 %.6f float canon masked
+    # sub-1e-6 drift and Decimal .normalize() masked scale differences —
+    # which is how tpch_pricing_summary passed locally but hash-failed on
+    # the driver twice.)
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
+        return str(v)
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
-        return f"{v:.6f}"
+        return repr(v)
     return str(v)
 
 
