@@ -716,6 +716,59 @@ def q_cluster_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_triplet_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: per-anchor triplet AUC (reference src/utils/utils.py:114-169)
+    via the Mann-Whitney rank closed form — no triple materialization.
+    Scores = within-lang token Jaccard; labels = synthetic truth
+    (n_chars%5, same convention as eval_nmi_ari). Fully DuckDB-oracled:
+    the identical rank windows run on both sides."""
+    from jmdfane_spark.operators.evaluate import triplet_auc
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 80)
+        .select(
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("lang").alias("block_key"),
+            _tokens(F.col("text")).alias("toks"),
+            (F.col("n_chars") % 5).cast("long").alias("truth"),
+        )
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    scored = pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.round(S.jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("score"),
+        (F.col("truth_a") == F.col("truth_b")).alias("is_match"),
+    )
+    out = triplet_auc(scored, anchor_col="anchor")
+    return out.select(
+        F.col("anchor").cast("long").alias("anchor"),
+        "n_pos",
+        "n_neg",
+        F.round("auc", 6).alias("auc"),
+    )
+
+
+def q_cluster_k_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: two per-block k estimators side by side — thresholded-CC count
+    and modularity-argmax k from the GHAC dendrogram scan (the reference's
+    FastNewman role, src/cluster_pred/cluster_predict.py:41-129). The
+    modularity argmax is not SQL-expressible — driver records rows-only;
+    exactness covered by tests/test_clustering.py (planted-k fixture)."""
+    from jmdfane_spark.operators.clustering import estimate_k
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("lang").alias("block_key"),
+        _tokens(F.col("text")).alias("toks"),
+    )
+    pairs = blocked_pairs(docs, "block_key", "id", max_rows_per_task=500)
+    scored = pairs.select(
+        "block_key", "id_a", "id_b", S.jaccard(F.col("toks_a"), F.col("toks_b")).alias("score")
+    )
+    return estimate_k(scored, docs.select("block_key", "id"), threshold=0.95)
+
+
 def q_char_bag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: multiset char-bag distance between names (reference
     repare_data_name.py:48-65) over customer-name pairs."""
@@ -796,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_bag_names": q_char_bag_names,
         "er_scored_pairs_emb": q_er_scored_pairs_emb,
         "cluster_count_estimate": q_cluster_count_estimate,
+        "eval_triplet_auc": q_eval_triplet_auc,
+        "cluster_k_modularity": q_cluster_k_modularity,
     }
 
 
@@ -1159,5 +1214,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_mentions
             FROM t JOIN comp ON t.doc_id = comp.id
             GROUP BY 1
+        """,
+        "eval_triplet_auc": f"""
+            WITH t AS (SELECT doc_id AS id, lang, {SQL_TOKS.format(c="text")} AS tk,
+                              n_chars % 5 AS tr
+                       FROM documents WHERE doc_id < 80),
+            p AS (
+              SELECT a.id AS anchor,
+                     {SQL_JACCARD("a.tk", "b.tk")} AS s,
+                     CASE WHEN a.tr = b.tr THEN 1 ELSE 0 END AS y
+              FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id
+            ),
+            r AS (
+              SELECT anchor, y,
+                     rank() OVER (PARTITION BY anchor ORDER BY s)
+                       + (count(*) OVER (PARTITION BY anchor, s) - 1) / 2.0 AS rr
+              FROM p
+            ),
+            g AS (
+              SELECT anchor, sum(y) AS n_pos, sum(1 - y) AS n_neg,
+                     sum(CASE WHEN y = 1 THEN rr END) AS prs
+              FROM r GROUP BY anchor
+            )
+            SELECT anchor::bigint AS anchor, n_pos::bigint AS n_pos,
+                   n_neg::bigint AS n_neg,
+                   round((prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+            FROM g WHERE n_pos > 0 AND n_neg > 0
         """,
     }

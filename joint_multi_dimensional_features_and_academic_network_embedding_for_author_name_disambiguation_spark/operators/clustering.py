@@ -154,8 +154,9 @@ def ghac_labels(sim: np.ndarray, threshold: float = 0.3) -> np.ndarray:
     return best
 
 
-def _kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray:
-    """Deterministic Lloyd k-means with k-means++ seeding (seeded RNG)."""
+def _kmeans_once(x: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, float]:
+    """One deterministic Lloyd run with k-means++ seeding; returns
+    (labels, inertia)."""
     rng = np.random.default_rng(seed)
     n = x.shape[0]
     centers = [x[int(rng.integers(n))]]
@@ -180,7 +181,23 @@ def _kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarra
             pts = x[labels == j]
             if len(pts):
                 c[j] = pts.mean(axis=0)
-    return labels
+    inertia = float(((x - c[labels]) ** 2).sum())
+    return labels, inertia
+
+
+def _kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 25, n_init: int = 8) -> np.ndarray:
+    """Deterministic k-means: ``n_init`` seeded k-means++ restarts, keep
+    the lowest-inertia run (sklearn's n_init discipline — a single Lloyd
+    run lands in local optima on spectral embeddings and silently splits
+    a true cluster). Seeds are seed..seed+n_init-1, so the result is a
+    pure function of (x, k, seed)."""
+    best_labels, best_inertia = None, np.inf
+    for s in range(n_init):
+        labels, inertia = _kmeans_once(x, k, seed + s, iters)
+        # strict < : earliest seed wins ties, keeping determinism
+        if inertia < best_inertia:
+            best_labels, best_inertia = labels, inertia
+    return best_labels
 
 
 def spectral_labels(sim: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
@@ -286,6 +303,73 @@ def _threshold_cc_labels(sim: np.ndarray, threshold: float) -> np.ndarray:
     roots = np.array([_uf_find(parent, i) for i in range(n)])
     _, labels = np.unique(roots, return_inverse=True)
     return labels
+
+
+def estimate_k(
+    scored: DataFrame,
+    members: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "id",
+    score_col: str = "score",
+    threshold: float = 0.3,
+    max_block_rows: int = 2048,
+) -> DataFrame:
+    """Per-block cluster-count estimation, two estimators (G10).
+
+    The reference ships several k estimators (HDBSCAN at
+    src/cluster_pred/cluster_predict.py:132-160, FastNewman :41-129,
+    Girvan-Newman :174-255). Here the two that map onto this engine's
+    solvers:
+
+      k_cc         — thresholded-component count (the default, = what
+                     spectral_cluster uses when no true k is given);
+      k_modularity — cluster count at the modularity argmax of the
+                     average-linkage dendrogram k-scan (``ghac_labels``)
+                     — the FastNewman role: modularity picks k.
+
+    Returns (block_key, n, k_cc, k_modularity). Oversized blocks report
+    k_modularity = k_cc (the same union-find fallback ghac_cluster uses).
+    """
+    edges = scored.select(
+        F.col(block_col).alias("_bk"),
+        F.col("id_a").cast("string").alias("_a"),
+        F.col("id_b").cast("string").alias("_b"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    verts = members.select(
+        F.col(block_col).alias("_bk"),
+        F.col(id_col).cast("string").alias("_a"),
+        F.col(id_col).cast("string").alias("_b"),
+        F.lit(0.0).alias("_s"),
+    )
+    grouped = edges.unionByName(verts)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        bk = pdf["_bk"].iloc[0]
+        ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
+        pos = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        sim = np.zeros((n, n))
+        for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
+            i, j = pos[a], pos[b]
+            if i != j:
+                v = max(s, sim[i, j])
+                sim[i, j] = v
+                sim[j, i] = v
+        thr = sim.copy()
+        thr[thr <= threshold] = 0.0
+        k_cc = _n_components(thr > 0)
+        if n > max_block_rows or n <= 1:
+            k_mod = k_cc
+        else:
+            k_mod = len(np.unique(ghac_labels(sim, threshold)))
+        return pd.DataFrame(
+            {"block_key": [bk], "n": [n], "k_cc": [k_cc], "k_modularity": [k_mod]}
+        )
+
+    return grouped.groupBy("_bk").applyInPandas(
+        solve, schema="block_key string, n long, k_cc long, k_modularity long"
+    )
 
 
 # --------------------------------------------------------------------------

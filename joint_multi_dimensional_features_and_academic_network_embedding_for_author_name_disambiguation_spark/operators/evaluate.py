@@ -272,6 +272,53 @@ def munkres_accuracy(
     )
 
 
+def triplet_auc(
+    scored_labeled: DataFrame,
+    anchor_col: str = "id_a",
+    score_col: str = "score",
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Per-anchor triplet AUC over scored labeled pairs (G12).
+
+    The reference samples (anchor, pos, neg) triples and reports the
+    fraction where score(anchor,pos) > score(anchor,neg)
+    (src/utils/utils.py:114-169, invoked at global_embedding.py:162-167).
+    Over ALL valid triples that fraction is exactly the per-anchor
+    Mann-Whitney statistic, so instead of materializing the pos×neg cross
+    join we compute it from average ranks in two window passes:
+
+        AUC_a = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+
+    with ties counted 1/2 (average ranks). One shuffle on anchor — no
+    triple materialization, scale-safe. Returns (anchor, n_pos, n_neg,
+    auc) for anchors having both a positive and a negative pair; the
+    global sampled-triple AUC is the n_pos·n_neg-weighted mean.
+    """
+    from pyspark.sql import Window
+
+    rk = F.rank().over(Window.partitionBy(anchor_col).orderBy(score_col))
+    tie = F.count("*").over(Window.partitionBy(anchor_col, score_col))
+    d = scored_labeled.select(
+        F.col(anchor_col).alias("anchor"),
+        F.col(label_col).cast("int").alias("_y"),
+        (rk + (tie - F.lit(1)) / 2.0).alias("_r"),
+    )
+    agg = d.groupBy("anchor").agg(
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_pos_rank_sum"),
+    )
+    return agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "anchor",
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("_pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
 def pairwise_f1_on_labeled_pairs(pred_labels: DataFrame, labeled_pairs: DataFrame) -> dict:
     """F1 against an explicit labeled-pairs table (BASELINE.json metric:
     'labeled pairs at matching blocking keys').

@@ -226,6 +226,59 @@ def score_pairs(
     return out.withColumn("score", F.round(F.when(keep, fused_full).otherwise(ub), 9))
 
 
+def fit_channel_weights(
+    scored_pairs: DataFrame,
+    labeled_pairs: DataFrame,
+    channels: tuple[str, ...] | None = None,
+    label_col: str = "is_match",
+    reg_param: float = 0.01,
+    max_iter: int = 100,
+) -> dict[str, float]:
+    """Learn the fused channel weights from labeled pairs (G3).
+
+    The reference LEARNS its fusion (triplet net at
+    src/global_embedding/global_embedding.py:116-151, channel attention at
+    src/local_embedding/model.py:34-58); the fixed CHANNEL_WEIGHTS only
+    plays that role when no labels exist. Here: Spark-ML logistic
+    regression over the already-computed channel columns of
+    ``score_pairs(..., prune_below=None)`` joined to
+    ``labeled_pairs(id_a, id_b, is_match)``, then the positive
+    coefficients renormalized to a convex combination — the fused score
+    stays in [0,1] so thresholds remain comparable to the fixed-weight
+    runs. Distributed end-to-end (LBFGS over treeAggregate); returns a
+    plain weights dict consumable by ``score_pairs(weights=...)``.
+
+    Channels with a non-positive learned coefficient get weight 0 (an
+    anti-correlated channel would otherwise flip a similarity into a
+    penalty and break the [0,1] score range); if every coefficient is
+    non-positive the fixed defaults are returned unchanged.
+    """
+    chs = list(channels) if channels else [c for c in CHANNEL_WEIGHTS if c in scored_pairs.columns]
+    j = scored_pairs.join(labeled_pairs.select("id_a", "id_b", label_col), ["id_a", "id_b"])
+    df = j.select(
+        *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in chs],
+        F.col(label_col).cast("double").alias("label"),
+    )
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    vec = VectorAssembler(inputCols=chs, outputCol="features").transform(df)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=reg_param,
+        elasticNetParam=0.0,
+        maxIter=max_iter,
+        standardization=True,
+    )
+    coef = lr.fit(vec).coefficients.toArray()
+    pos = np.clip(coef, 0.0, None)
+    if pos.sum() <= 0.0:
+        return {c: CHANNEL_WEIGHTS.get(c, 0.0) for c in chs}
+    w = pos / pos.sum()
+    return {c: float(round(w[i], 6)) for i, c in enumerate(chs)}
+
+
 def adaptive_threshold(
     scored: DataFrame, block_col: str = "block_key", base: float = 0.5, k_sigma: float = 0.0
 ) -> DataFrame:

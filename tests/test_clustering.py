@@ -184,3 +184,51 @@ def test_oversized_block_falls_back_to_cc(spark):
     want_rows = cc.labels.orderBy("id").collect()
     want = _partition([r["component"] for r in want_rows], [r["id"] for r in want_rows])
     assert got == want
+
+
+def test_estimate_k_two_estimators(spark):
+    """G10: per-block k estimation — k_cc = thresholded-component count,
+    k_modularity = modularity-argmax of the GHAC dendrogram scan
+    (reference FastNewman role, cluster_predict.py:41-129). Oracle = the
+    same numpy kernels run locally per block."""
+    from jmdfane_spark.operators.clustering import estimate_k, ghac_labels
+
+    # clean3: three 0.9-cliques with sub-threshold cross-talk → k_cc=3
+    clean3 = (
+        [("clean3", f"c{g}_{i}", f"c{g}_{j}", 0.9) for g in range(3) for i in range(3) for j in range(3) if i < j]
+        + [("clean3", "c0_0", "c1_0", 0.2), ("clean3", "c1_0", "c2_0", 0.2)]
+    )
+    # bridge: two cliques joined by a spurious above-threshold edge → the
+    # thresholded graph is ONE component, so both estimators report 1
+    bridge = (
+        [("bridge", f"x{i}", f"x{j}", 0.9) for i in range(3) for j in range(3) if i < j]
+        + [("bridge", f"y{i}", f"y{j}", 0.9) for i in range(3) for j in range(3) if i < j]
+        + [("bridge", "x0", "y0", 0.4)]
+    )
+    scored = spark.createDataFrame(
+        clean3 + bridge, "block_key string, id_a string, id_b string, score double"
+    )
+    ids = sorted({r[1] for r in clean3 + bridge} | {r[2] for r in clean3 + bridge})
+    members = spark.createDataFrame(
+        [("clean3", v) for v in ids if v.startswith("c")]
+        + [("bridge", v) for v in ids if v[0] in "xy"],
+        "block_key string, id string",
+    )
+    got = {r["block_key"]: r for r in estimate_k(scored, members, threshold=0.3).collect()}
+    assert got["clean3"]["k_cc"] == 3 and got["clean3"]["n"] == 9
+    assert got["bridge"]["k_cc"] == 1 and got["bridge"]["n"] == 6
+
+    # numpy oracle for k_modularity: same sim matrix through ghac_labels
+    for bk, rows_ in (("clean3", clean3), ("bridge", bridge)):
+        vs = sorted({r[1] for r in rows_} | {r[2] for r in rows_})
+        pos = {v: i for i, v in enumerate(vs)}
+        sim = np.zeros((len(vs), len(vs)))
+        for _, a, b, s in rows_:
+            sim[pos[a], pos[b]] = sim[pos[b], pos[a]] = s
+        want = len(np.unique(ghac_labels(sim, 0.3)))
+        assert got[bk]["k_modularity"] == want, bk
+
+    # oversized block falls back to k_modularity = k_cc
+    small = estimate_k(scored, members, threshold=0.3, max_block_rows=4).collect()
+    for r in small:
+        assert r["k_modularity"] == r["k_cc"]

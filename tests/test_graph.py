@@ -116,3 +116,32 @@ def test_random_walks_deterministic_and_connected(spark):
         assert path[0] == start and len(path) == 5
         for u, v in zip(path, path[1:]):
             assert v in adj[u]
+
+
+def test_truncated_walks_preserved_by_frontier_split(spark):
+    """Terminated walks leave the per-step join frontier (embedding.py
+    frontier split) but must all reappear in the output: exactly one row
+    per (walk_id, start), truncated paths intact — on a fixture where
+    most walks die at step 1 (only one node has a t1 edge)."""
+    edges = spark.createDataFrame(
+        [("a", "b", "t1", 1.0), ("b", "c", "t2", 1.0)]
+        + [(f"z{i}", f"z{i+1}", "t2", 1.0) for i in range(6)],
+        "id_a string, id_b string, et string, w double",
+    )
+    num_walks, walk_len = 3, 7
+    rows = random_walks(
+        edges, num_walks=num_walks, walk_len=walk_len,
+        weight_col="w", type_col="et", metapath=["t1", "t2"],
+    ).collect()
+    starts = {"a", "b", "c"} | {f"z{i}" for i in range(7)}
+    seen = {}
+    for r in rows:
+        key = (r.walk_id, r.start)
+        assert key not in seen, f"duplicate walk {key}"
+        seen[key] = tuple(r.path)
+        assert r.path[0] == r.start
+    assert set(seen) == {(w, s) for w in range(num_walks) for s in starts}
+    # z-nodes have no t1 edge at all: their walks truncate at length 1
+    for (w, s), p in seen.items():
+        if s.startswith("z"):
+            assert p == (s,), (w, s, p)

@@ -120,3 +120,35 @@ def test_nmi_ari_against_planted_pipeline_labels(spark, fixture_dfs):
     for r in rows:
         assert r["nmi"] == pytest.approx(1.0)
         assert r["ari"] == pytest.approx(1.0)
+
+
+def test_triplet_auc_matches_bruteforce(spark):
+    """Rank-based triplet AUC ≡ brute-force over all (anchor, pos, neg)
+    triples — wins + half-ties (reference src/utils/utils.py:114-169 in
+    expectation over sampled triples). Includes tied scores."""
+    import random
+
+    from jmdfane_spark.operators.evaluate import triplet_auc
+
+    rng = random.Random(7)
+    rows = []
+    for a in range(6):
+        for p in range(rng.randint(3, 9)):
+            # quantized scores force ties
+            rows.append((f"a{a}", round(rng.random() * 4) / 4.0, rng.random() < 0.5))
+    df = spark.createDataFrame(rows, "id_a string, score double, is_match boolean")
+    got = {r["anchor"]: r for r in triplet_auc(df).collect()}
+
+    by_anchor: dict = {}
+    for a, s, y in rows:
+        by_anchor.setdefault(a, []).append((s, y))
+    for a, sl in by_anchor.items():
+        pos = [s for s, y in sl if y]
+        neg = [s for s, y in sl if not y]
+        if not pos or not neg:
+            assert a not in got
+            continue
+        wins = sum(1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg)
+        want = wins / (len(pos) * len(neg))
+        assert got[a]["n_pos"] == len(pos) and got[a]["n_neg"] == len(neg)
+        assert got[a]["auc"] == pytest.approx(want, abs=1e-12), a

@@ -78,3 +78,51 @@ def test_normalize_schema(spark, fixture_dfs):
     assert expect <= set(norm.columns)
     row = norm.where(F.size("tokens") > 0).first()
     assert row.tokens == sorted(set(row.tokens))
+
+
+def test_flagship_f1_with_spectral_clusterer(spark, fixture_dfs):
+    """Stage-3 alternative: per-block spectral clustering with TRUE k —
+    the reference's headline true-cluster-count configuration
+    (local_embedding.py:242-271,517-519) — reproduces the planted
+    clusters end-to-end from one run_pipeline call."""
+    files, labels, lpairs = fixture_dfs
+    true_k = labels.groupBy("block_key").agg(F.countDistinct("cluster_id").alias("k"))
+    res = run_pipeline(
+        spark, files, use_bands=False, use_tfidf=True, clusterer="spectral", true_k=true_k
+    )
+    m = pairwise_f1_on_labeled_pairs(res.labels, lpairs)
+    assert m["f1"] >= 0.99, m
+
+
+def test_fitted_channel_weights(spark, fixture_dfs):
+    """G3: channel weights learned from labeled pairs (the reference
+    LEARNS its fusion — global_embedding.py:116-151, model.py:34-58).
+    Fit is deterministic, weights form a convex combination, and the
+    fitted pipeline matches the fixed-weight flagship F1 contract."""
+    from jmdfane_spark.operators import scoring
+
+    files, labels, lpairs = fixture_dfs
+    norm = normalize_files(files, staged=True)
+    feats = scoring.tfidf_features(norm.select("id", "tokens"), "id", "tokens")
+    members = norm.join(feats, "id", "left")
+    pcols = [c for c in members.columns if c != "id"]
+    pa = members.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in pcols])
+    pb = members.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in pcols])
+    wide = lpairs.select("id_a", "id_b").join(pa, "id_a").join(pb, "id_b")
+    scored = scoring.score_pairs(wide, prune_below=None)
+
+    w1 = scoring.fit_channel_weights(scored, lpairs)
+    w2 = scoring.fit_channel_weights(scored, lpairs)
+    assert w1 == w2, "fit must be deterministic"
+    assert set(w1) == set(scoring.CHANNEL_WEIGHTS)
+    assert all(v >= 0 for v in w1.values())
+    assert abs(sum(w1.values()) - 1.0) < 1e-4
+
+    res_fit = run_pipeline(
+        spark, files, use_bands=False, use_tfidf=True, channel_weights=w1
+    )
+    f1_fit = pairwise_f1_on_labeled_pairs(res_fit.labels, lpairs)["f1"]
+    res_fix = run_pipeline(spark, files, use_bands=False, use_tfidf=True)
+    f1_fix = pairwise_f1_on_labeled_pairs(res_fix.labels, lpairs)["f1"]
+    assert f1_fit >= 0.99, (f1_fit, w1)
+    assert f1_fit >= f1_fix - 1e-9, (f1_fit, f1_fix, w1)
