@@ -138,37 +138,57 @@ def run_pipeline(
     # ---- stage 1: blocking → SKINNY candidate pairs --------------------------
     # Pair generation shuffles only (block_key, id): the wide feature
     # payload never rides through the O(n²)-bounded self-join.
+    stem_k = members.select("id", "block_key")
+    if use_bands:
+        # composite blocking: stem key + MinHash band keys in one
+        # skinny key table (band keys prefixed by lang so banding
+        # never crosses a language boundary)
+        band_k = banded_keys(
+            members, "id", "tokens", bands=bands, rows=rows_per_band, prefix_col="lang"
+        )
+        keys = stem_k.unionByName(band_k).persist()
+    else:
+        keys = stem_k.persist()
+    # Pair-count pre-pass: Σ over key groups of n·(n−1)/2 is the exact
+    # row count the blocked self-join will materialize (pre-dedup for
+    # banded keys — which is precisely the volume the shuffle must carry).
+    # One skinny groupBy — at any scale it shuffles only #distinct keys.
+    est_pairs = (
+        keys.groupBy("block_key")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
+        .collect()[0]["_p"]
+        or 0.0
+    )
+
     def build_pairs() -> DataFrame:
-        stem_k = members.select("id", "block_key")
+        pairs = blocked_pairs(keys, "block_key", "id", max_rows_per_task)
         if use_bands:
-            # composite blocking: stem key + MinHash band keys in one
-            # skinny key table (band keys prefixed by lang so banding
-            # never crosses a language boundary)
-            band_k = banded_keys(
-                members, "id", "tokens", bands=bands, rows=rows_per_band, prefix_col="lang"
-            )
-            keys = stem_k.unionByName(band_k)
-            pairs = blocked_pairs(keys, "block_key", "id", max_rows_per_task)
             pairs = pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
-        else:
-            pairs = blocked_pairs(stem_k, "block_key", "id", max_rows_per_task)
         return pairs
 
     pairs = ck.stage("pairs", build_pairs) if ck else build_pairs()
     # AQE coalesces the skinny pair shuffle by BYTES (~64 MB targets), but
     # downstream cost is compute-per-pair — without an explicit repartition
     # the scoring stage runs on a handful of partitions no matter how many
-    # cores exist (measured: local[32] slower than local[8]). Round-robin
-    # repartition the cheap skinny rows to the configured shuffle width
-    # (data-sized, like every other shuffle), floored at full parallelism.
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_part = 0
-    n_part = max(n_part, spark.sparkContext.defaultParallelism * 2, 8)
+    # cores exist (measured: local[32] slower than local[8]). Partition
+    # count is sized by the DATA from the pre-pass estimate: ~100k
+    # pair-rows per task is the measured sweet spot (14.5M pairs → 128-145
+    # partitions; 3.2M pairs → 64 at 32 cores, where 128 ran 1.26× slower
+    # and 256 ran 1.4× slower), floored at 2× parallelism for load
+    # balance and capped to keep task-launch overhead bounded.
+    n_part = int(
+        max(
+            spark.sparkContext.defaultParallelism * 2,
+            min(-(-est_pairs // 100_000), 4096),
+        )
+    )
     pairs = pairs.repartition(n_part).persist()
     n_pairs = pairs.count()
+    keys.unpersist()
     metrics["pairs_generated"] = n_pairs
+    metrics["pairs_estimated"] = int(est_pairs)
+    metrics["pair_partitions"] = n_part
     metrics["t_blocking"] = round(_time.time() - _t0, 2)
     _t0 = _time.time()
     if ck:

@@ -31,20 +31,23 @@ def get_spark(
         builder = builder.master(master)
 
     if shuffle_partitions is None:
-        # Default: 8× parallelism, CAPPED at 128. Partition count should be
-        # sized by the DATA (per-task sort state vs execution memory), not
-        # by core count alone: on the 14.5M-pair scaling workload 128
-        # partitions is the measured sweet spot (64 spills at low core
-        # counts; 256 pays ~1.4× shuffle-segment overhead — the uncapped
-        # 8×32=256 default regressed the 32-core headline bench 1.4× in r2).
-        # The 8× floor keeps small-core runs from under-splitting sort
-        # state; AQE coalesces tiny shuffles back down by bytes. A real
-        # cluster overrides via spark-submit --conf.
+        # Default: 2× parallelism. Partition count should be sized by the
+        # DATA, and the one stage where that matters — the candidate-pair
+        # stream — sizes itself from the blocking pre-pass
+        # (plans/pipeline.py: ~100k pair-rows/task). For everything else
+        # 2× cores measures best at the bench core count (sf0.1 local[32]:
+        # er_pipeline_full 55.7s / minhash-LSH 26.7s at 64 partitions vs
+        # 70.0s / 32.3s at 128 and ~78s at r2's 8×cores=256), and AQE
+        # coalesces small shuffles by bytes anyway. Workloads whose
+        # per-task sort state outgrows execution memory (e.g. the
+        # 14.5M-pair scaling fixture, where 128 is the measured sweet
+        # spot) pass shuffle_partitions explicitly, as bench_scaling.py
+        # does — a real cluster overrides via spark-submit --conf.
         try:
             n = int(master.split("[")[1].rstrip("]")) if master and "[" in master else 32
         except ValueError:
             n = 32
-        shuffle_partitions = max(16, min(8 * n, 128))
+        shuffle_partitions = max(16, 2 * n)
 
     conf = {
         # Classic (non-ANSI) SQL semantics: silent overflow wrap + null-on-
