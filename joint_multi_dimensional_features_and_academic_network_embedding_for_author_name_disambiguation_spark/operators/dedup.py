@@ -85,7 +85,8 @@ def ngram_jaccard_pairs(
         )
         pairs = blocked_pairs(m, "block_key", "id", max_rows_per_task)
     return (
-        pairs.withColumn("jaccard", S.jaccard(F.col("grams_a"), F.col("grams_b")))
+        # grams are array_distinct by construction -> set-specialized Jaccard
+        pairs.withColumn("jaccard", S.jaccard_sets(F.col("grams_a"), F.col("grams_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -117,7 +118,8 @@ def minhash_lsh_pairs(
     keys = banded_keys(base, "id", "grams", bands=bands, rows=rows)
     pairs = pairs_from_keys(keys, base, id_col="id", max_rows_per_task=max_rows_per_task)
     return (
-        pairs.withColumn("jaccard", S.jaccard(F.col("grams_a"), F.col("grams_b")))
+        # grams are array_distinct by construction -> set-specialized Jaccard
+        pairs.withColumn("jaccard", S.jaccard_sets(F.col("grams_a"), F.col("grams_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -292,7 +292,10 @@ def triplet_auc(
     with ties counted 1/2 (average ranks). One shuffle on anchor — no
     triple materialization, scale-safe. Returns (anchor, n_pos, n_neg,
     auc) for anchors having both a positive and a negative pair; the
-    global sampled-triple AUC is the n_pos·n_neg-weighted mean.
+    global sampled-triple AUC is the n_pos·n_neg-weighted mean. The
+    reference's pooled variant (one roc_auc_score over all pos/neg
+    scores, utils.py:160-161) is the degenerate case: pass a constant
+    anchor column.
     """
     from pyspark.sql import Window
 

@@ -131,6 +131,13 @@ def pairs_from_keys(
         pb = members.select(
             F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload]
         )
+        # Force broadcast for modest member counts: Catalyst's size
+        # estimate of array payload (shingle/vector columns) overshoots
+        # the autoBroadcast threshold and falls back to SortMergeJoin,
+        # sorting the whole pair stream twice. One cheap count decides;
+        # above the bound the shuffled join is the right plan anyway.
+        if members.count() <= 2_000_000:
+            pa, pb = F.broadcast(pa), F.broadcast(pb)
         pairs = pairs.join(pa, "id_a").join(pb, "id_b")
     return pairs
 

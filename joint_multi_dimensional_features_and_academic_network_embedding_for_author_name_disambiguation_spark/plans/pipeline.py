@@ -131,7 +131,7 @@ def run_pipeline(
         .drop("repo", "path", "commit")
         .persist()
     )
-    members.count()
+    n_members = members.count()
     metrics["t_normalize"] = round(_time.time() - _t0, 2)
     _t0 = _time.time()
 
@@ -196,13 +196,21 @@ def run_pipeline(
 
     # ---- stage 2: scoring -----------------------------------------------------
     # Payload attaches via two joins of the (small, persisted) members
-    # table, then one scoring pass; with members under the broadcast
-    # threshold these are map-side joins — the pair stream never reshuffles.
+    # table, then one scoring pass. The joins are FORCED broadcast when the
+    # member count is modest: Catalyst's size ESTIMATE of the map/array
+    # payload columns blows past the autoBroadcast threshold even for a
+    # 23k-row table, silently picking SortMergeJoin — which sorts the
+    # ENTIRE pair stream twice (measured: the dominant, worst-scaling cost
+    # of the scoring stage on the 14.5M-pair workload). Above the row
+    # bound (payload no longer fits executor memory — the true 100 TB
+    # regime) it stays a shuffled join over data-sized partitions.
     def build_scored() -> DataFrame:
         payload = members.drop("block_key")
         pcols = [c for c in payload.columns if c != "id"]
         pa = payload.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in pcols])
         pb = payload.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in pcols])
+        if n_members <= 2_000_000:
+            pa, pb = F.broadcast(pa), F.broadcast(pb)
         wide = pairs.join(pa, "id_a").join(pb, "id_b")
         weights = channel_weights
         if use_embedding:
