@@ -91,17 +91,23 @@ def connected_components(
                 (F.col("nbr_component") < F.col("component")).alias("_changed"),
             )
         )
-        # coalesce the agg itself too: sum over zero rows is NULL
-        changed = new_labels.agg(
-            F.coalesce(
-                F.sum(F.coalesce(F.col("_changed").cast("long"), F.lit(0))), F.lit(0)
-            ).alias("n")
-        ).collect()[0]["n"]
-        labels = new_labels.drop("_changed")
+        # Materialize ONCE, then read the convergence count from the
+        # materialized partitions: running the `changed` agg on the lazy
+        # plan and then checkpointing executed the whole join pipeline
+        # TWICE per iteration (measured ~2× the CC stage cost — CC was
+        # ~40s at 8 and 16 cores alike, pure overhead).
+        changed_agg = F.coalesce(
+            F.sum(F.coalesce(F.col("_changed").cast("long"), F.lit(0))), F.lit(0)
+        ).alias("n")
         if checkpointer is not None:
-            labels = checkpointer.write_iteration("cc_labels", it, labels)
+            flagged = new_labels.persist()
+            changed = flagged.agg(changed_agg).collect()[0]["n"]
+            labels = checkpointer.write_iteration("cc_labels", it, flagged.drop("_changed"))
+            flagged.unpersist()
         else:
-            labels = labels.localCheckpoint()
+            flagged = new_labels.localCheckpoint()  # also cuts iterative lineage
+            changed = flagged.agg(changed_agg).collect()[0]["n"]
+            labels = flagged.drop("_changed")
         row = {"iteration": it, "labels_changed": int(changed)}
         if count_components:
             # optional: a full extra job per iteration — only for lineage
