@@ -45,6 +45,7 @@ def connected_components(
     max_iter: int = 25,
     checkpointer=None,
     count_components: bool = False,
+    contract_after: int = 1,
 ) -> CCResult:
     """Hash-min CC over an undirected edge table.
 
@@ -53,6 +54,15 @@ def connected_components(
     checkpointer: optional plans.checkpoint.CheckpointManager — when given,
     each iteration's label table is persisted (resume = continue from the
     last completed iteration).
+    contract_after: after this many hash-min iterations the edge table is
+    CONTRACTED to the distinct component graph — {(label(u), label(v)):
+    label(u) ≠ label(v)} — and the fixpoint continues on that (usually
+    tiny) graph, with final labels composed through the contraction map.
+    On dense similarity graphs one iteration collapses most clusters, so
+    this turns every later iteration's 2|E|-row join into a near-empty
+    one (the same idea as the large-star/small-star contraction family).
+    0 disables. Contraction is skipped in checkpointed mode so every
+    written iteration keeps original-vertex labels for resume.
     """
     # no distinct(): hash-min's min-aggregate is idempotent to duplicate
     # edges, and for unique unordered input pairs the swapped union has no
@@ -73,6 +83,7 @@ def connected_components(
         labels = labels.localCheckpoint()
 
     metrics: list[dict] = []
+    base_labels = None  # set when the graph is contracted: (id, comp1)
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         # candidate labels flowing along edges
@@ -116,8 +127,59 @@ def connected_components(
         metrics.append(row)
         if changed == 0:
             break
+        # pointer jumping: component ← label(component). One |V|-sized join
+        # that halves the remaining distance to the component minimum each
+        # iteration — O(log diameter) rounds on chain-like graphs instead
+        # of O(diameter). Identity at the fixpoint (labels constant per
+        # component), so the edge-based convergence test is untouched.
+        jmap = labels.select(
+            F.col("id").alias("component"), F.col("component").alias("_c2")
+        )
+        labels = labels.join(jmap, "component", "left").select(
+            "id", F.coalesce(F.col("_c2"), F.col("component")).alias("component")
+        )
+        if (
+            contract_after
+            and checkpointer is None
+            and base_labels is None
+            and it - start_iter >= contract_after
+        ):
+            # contract: continue the fixpoint on the distinct component
+            # graph instead of re-joining all 2|E| original edges each
+            # iteration; connectivity (and the min-id fixpoint) is
+            # preserved, labels compose at the end
+            base_labels = labels
+            lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("_ls"))
+            lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("_ld"))
+            contracted = (
+                sym.join(lab_src, "src")
+                .join(lab_dst, "dst")
+                .where(F.col("_ls") != F.col("_ld"))
+                .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+                .distinct()
+                .localCheckpoint()
+            )
+            sym.unpersist()
+            sym = contracted  # localCheckpoint already holds it in memory
+            labels = (
+                sym.select(F.col("src").alias("id"))
+                .union(sym.select(F.col("dst").alias("id")))
+                .distinct()
+                .select("id", F.col("id").alias("component"))
+                .localCheckpoint()
+            )
 
     sym.unpersist()
+    if base_labels is not None:
+        # compose: original id → comp1 → final component. Components whose
+        # comp1 label never appeared in the contracted graph (already
+        # converged clusters / singletons) keep comp1.
+        final_map = labels.select(F.col("id").alias("_c1"), F.col("component").alias("_cf"))
+        labels = (
+            base_labels.withColumnRenamed("component", "_c1")
+            .join(final_map, "_c1", "left")
+            .select("id", F.coalesce(F.col("_cf"), F.col("_c1")).alias("component"))
+        )
     converged = (not metrics) or metrics[-1]["labels_changed"] == 0
     if not converged:
         # a component with graph diameter > max_iter would silently get

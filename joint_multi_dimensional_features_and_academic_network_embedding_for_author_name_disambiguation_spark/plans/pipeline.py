@@ -177,12 +177,12 @@ def run_pipeline(
     # partitions; 3.2M pairs → 64 at 32 cores, where 128 ran 1.26× slower
     # and 256 ran 1.4× slower), floored at 2× parallelism for load
     # balance and capped to keep task-launch overhead bounded.
-    n_part = int(
-        max(
-            spark.sparkContext.defaultParallelism * 2,
-            min(-(-est_pairs // 100_000), 4096),
-        )
-    )
+    par = spark.sparkContext.defaultParallelism
+    n_part = int(max(par * 2, min(-(-est_pairs // 100_000), 4096)))
+    # round UP to a whole number of waves: 145 partitions on 16 cores ends
+    # in a 1-task wave with 15 cores idle (~9% of the stage); any multiple
+    # of the parallelism keeps the final wave full
+    n_part = -(-n_part // par) * par
     pairs = pairs.repartition(n_part).persist()
     n_pairs = pairs.count()
     keys.unpersist()

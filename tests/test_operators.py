@@ -129,3 +129,26 @@ def test_char_bag_distance(spark):
     )
     got = [r.d for r in df.select(S.char_bag_distance(F.col("a"), F.col("b")).alias("d")).collect()]
     assert got == [0, 2, 6, 2, 2]
+
+
+def test_connected_components_contraction_long_chain(spark):
+    """Edge contraction (contract_after=1) must reach the same fixpoint as
+    plain hash-min on a diameter-20 chain — the worst case for hash-min —
+    and still label every vertex with the chain's minimum id."""
+    n = 21
+    ids = [f"v{i:02d}" for i in range(n)]
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)] + [("x1", "x2")]
+    verts = sorted({v for e in edges for v in e} | {"iso"})
+    vdf = spark.createDataFrame([(v,) for v in verts], "id string")
+    edf = spark.createDataFrame(edges, "id_a string, id_b string")
+    contracted = connected_components(vdf, edf, contract_after=1)
+    plain = connected_components(vdf, edf, contract_after=0)
+    got_c = {r.id: r.component for r in contracted.labels.collect()}
+    got_p = {r.id: r.component for r in plain.labels.collect()}
+    assert got_c == got_p
+    assert all(got_c[v] == "v00" for v in ids)
+    assert got_c["x1"] == got_c["x2"] == "x1" and got_c["iso"] == "iso"
+    assert contracted.converged and plain.converged
+    # pointer jumping gives O(log diameter) rounds: a diameter-20 chain
+    # must converge in far fewer than 20 iterations in both modes
+    assert contracted.iterations <= 9 and plain.iterations <= 9
