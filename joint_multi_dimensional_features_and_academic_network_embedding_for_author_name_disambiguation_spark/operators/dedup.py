@@ -65,9 +65,14 @@ def ngram_jaccard_pairs(
     collapses into one O(n²) bucket, which skew-splitting can spread
     across tasks but cannot shrink.
     """
+    # grams hashed to array<bigint> (pipeline normalize idiom): ~8× less
+    # payload through the candidate join, faster minhash/verify; Jaccard
+    # on hashed sets is exact up to 2^-64-scale collisions
     base = df.select(
         F.col(id_col).alias("id"),
-        T.word_ngrams(T.tokenize(F.col(text_col)), n).alias("grams"),
+        F.transform(T.word_ngrams(T.tokenize(F.col(text_col)), n), lambda g: F.xxhash64(g)).alias(
+            "grams"
+        ),
     ).persist()  # barrier: grams referenced by both block keys and payload
     if block_cols is None and blocking == "minhash":
         keys = banded_keys(base, "id", "grams", bands=bands, rows=rows)
@@ -109,7 +114,11 @@ def minhash_lsh_pairs(
     """
     base = df.select(
         F.col(id_col).alias("id"),
-        T.word_ngrams(T.tokenize(F.col(text_col)), shingle_n).alias("grams"),
+        # hashed grams: ~8× smaller payload, faster signature hashing and
+        # exact-verify; Jaccard identical up to 2^-64-scale collisions
+        F.transform(
+            T.word_ngrams(T.tokenize(F.col(text_col)), shingle_n), lambda g: F.xxhash64(g)
+        ).alias("grams"),
     ).where(F.size("grams") > 0)
     # materialization barrier: without it Catalyst's projection collapse
     # inlines the shingle expression into the 64-reference signature tree
