@@ -257,6 +257,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path end-to-end with nprobe = nlist: probing every
+    centroid partition makes the search exact, so the result contract (and
+    oracle) is identical to ann_topk — round-6 cosine, c_id tie-break.
+    This proves the 100 TB ANN path (build + probe) against the same
+    ground truth as the brute-force baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").cast("long").alias("c_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("long").alias("q_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    assignments, centroids = NN.ivf_build(corpus, nlist=8, iters=2)
+    out = NN.ivf_search(
+        queries_df, corpus, assignments, centroids, k=5, nprobe=8, round_digits=6
+    )
+    return out.select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs ≥ 0.99 (brute force, oracled)."""
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -809,8 +829,66 @@ def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic output order, applied to EVERY query and its oracle twin.
+# The driver's value hash is row-order-sensitive (r1-r3 showed identical
+# value sets flip red/green with partition order), so each query sorts on
+# a key set that is UNIQUE per row — total order, zero semantic change.
+_SORT_KEYS: dict[str, list[str]] = {
+    "er_pipeline_cc": ["doc_id"],
+    "er_scored_pairs": ["doc_a", "doc_b"],
+    "eval_pairwise_f1": ["block_key"],
+    "dedup_exact": ["doc_id"],
+    "dedup_ngram_jaccard": ["doc_a", "doc_b"],
+    "dedup_minhash_lsh": ["doc_a", "doc_b"],
+    "dedup_simhash": ["doc_a", "doc_b"],
+    "ann_topk": ["q_id", "rank"],
+    "ann_topk_ivf": ["q_id", "rank"],
+    "emb_near_dup": ["vec_a", "vec_b"],
+    "txt_token_count": ["doc_id"],
+    "txt_quality": ["doc_id"],
+    "txt_lang_id": ["doc_id"],
+    "txt_fingerprint": ["doc_id"],
+    "tpch_pricing_summary": ["l_returnflag", "l_linestatus"],
+    "join_orders_customer": ["mktsegment"],
+    "join_supplier_nation_region": ["region"],
+    "semi_join_customers_with_orders": ["nationkey"],
+    "anti_join_customers_no_orders": ["custkey"],
+    "dedup_first_per_order": ["orderkey"],
+    "topk_orders_per_customer": ["custkey", "rank"],
+    "argmax_customer_per_nation": ["nationkey"],
+    "idf": ["word"],
+    "block_stats_threshold": ["block_key"],
+    "union_distinct": ["user_id"],
+    "levenshtein_parts": ["partkey"],
+    "jaccard_docs": ["doc_a", "doc_b"],
+    "events_windowed_agg": ["hour", "event_type"],
+    "label_encoding": ["code"],
+    "minmax_normalize": ["event_id"],
+    "vector_mean": ["label", "pos"],
+    "euclidean_pairs": ["vec_a", "vec_b"],
+    "eval_nmi_ari": ["block_key"],
+    "eval_munkres_acc": ["block_key"],
+    "sha_invariant": ["doc_id"],
+    "er_ghac_clusters": ["doc_id"],
+    "char_bag_names": ["cust_a", "cust_b"],
+    "er_scored_pairs_emb": ["doc_a", "doc_b"],
+    "cluster_count_estimate": ["block_key"],
+    "eval_triplet_auc": ["anchor"],
+    "cluster_k_modularity": ["block_key"],
+}
+
+
+def _ordered(fn: Callable[[SparkSession, str], DataFrame], keys: list[str]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, sf_dir).orderBy(*keys)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         "er_pipeline_cc": q_er_pipeline_cc,
         "er_scored_pairs": q_er_scored_pairs,
         "eval_pairwise_f1": q_eval_pairwise_f1,
@@ -851,14 +929,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_count_estimate": q_cluster_count_estimate,
         "eval_triplet_auc": q_eval_triplet_auc,
         "cluster_k_modularity": q_cluster_k_modularity,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
+    return {name: _ordered(fn, _SORT_KEYS[name]) for name, fn in base.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     toks = SQL_TOKS.format(c="text")
     toks_a, toks_b = SQL_TOKS.format(c="a.text"), SQL_TOKS.format(c="b.text")
     sh_a, sh_b = SQL_SHINGLES3("a.text"), SQL_SHINGLES3("b.text")
-    return {
+    sql = {
         "er_pipeline_cc": f"""
             WITH t AS (SELECT doc_id, lang, {toks} AS tk FROM documents),
             p AS (
@@ -1241,4 +1321,73 @@ def oracle_sql() -> dict[str, str]:
                    round((prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
             FROM g WHERE n_pos > 0 AND n_neg > 0
         """,
+        # G12 Munkres accuracy: truth side is exactly {0..4} (n_chars % 5;
+        # every block has all five residues), so the max assignment is a
+        # brute-force 5-way join over candidate preds. Per truth only the
+        # top-6 preds by cell count can appear in an optimum (a truth
+        # assigned outside its top-6 could swap to an unused top-6 pred —
+        # at most 4 are taken by the other truths — without decreasing the
+        # total), so the join is 6^5 combos per block, not 20^5.
+        "eval_munkres_acc": """
+            WITH d AS (SELECT lang AS block_key, source AS pred,
+                              (n_chars % 5)::bigint AS truth
+                       FROM documents),
+            cell AS (SELECT block_key, pred, truth, count(*)::double AS c
+                     FROM d GROUP BY 1, 2, 3),
+            preds AS (SELECT DISTINCT block_key, pred FROM d),
+            truths AS (SELECT DISTINCT block_key, truth FROM d),
+            fullc AS (SELECT t.block_key, p.pred, t.truth, coalesce(cell.c, 0.0) AS c
+                      FROM truths t JOIN preds p USING (block_key)
+                      LEFT JOIN cell USING (block_key, pred, truth)),
+            top6 AS (SELECT * FROM (
+                       SELECT *, row_number() OVER (PARTITION BY block_key, truth
+                                                    ORDER BY c DESC, pred ASC) AS rn
+                       FROM fullc) WHERE rn <= 6),
+            nn AS (SELECT block_key, count(*)::bigint AS n FROM d GROUP BY 1),
+            best AS (
+              SELECT c0.block_key, max(c0.c + c1.c + c2.c + c3.c + c4.c) AS tot
+              FROM top6 c0
+              JOIN top6 c1 ON c1.block_key = c0.block_key AND c1.truth = 1
+              JOIN top6 c2 ON c2.block_key = c0.block_key AND c2.truth = 2
+              JOIN top6 c3 ON c3.block_key = c0.block_key AND c3.truth = 3
+              JOIN top6 c4 ON c4.block_key = c0.block_key AND c4.truth = 4
+              WHERE c0.truth = 0
+                AND c0.pred <> c1.pred AND c0.pred <> c2.pred AND c0.pred <> c3.pred AND c0.pred <> c4.pred
+                AND c1.pred <> c2.pred AND c1.pred <> c3.pred AND c1.pred <> c4.pred
+                AND c2.pred <> c3.pred AND c2.pred <> c4.pred
+                AND c3.pred <> c4.pred
+              GROUP BY 1
+            )
+            SELECT b.block_key, nn.n AS n, round(b.tot / nn.n, 6) AS acc
+            FROM best b JOIN nn USING (block_key)
+        """,
     }
+    # the IVF query with nprobe = nlist probes every partition — exact, so
+    # it shares the brute-force oracle verbatim (proves the scale ANN path
+    # end-to-end against the same ground truth)
+    sql["ann_topk_ivf"] = sql["ann_topk"]
+    sql.update(_pinned_oracles())
+    for name, keys in _SORT_KEYS.items():
+        if name in sql:
+            sql[name] = sql[name].rstrip() + "\nORDER BY " + ", ".join(keys)
+    return sql
+
+
+def _pinned_oracles() -> dict[str, str]:
+    """Pinned regression oracles for the non-SQL-expressible solvers.
+
+    GHAC's dendrogram cut + modularity argmax (and the k_modularity
+    column) cannot be recomputed in SQL; their exactness is covered by
+    tests/test_clustering.py against brute-force references. What SQL CAN
+    check is that the distributed solver reproduces the verified expected
+    output on the driver fixture bit-for-bit — so the expected tables
+    (generated once by tools/gen_pinned_oracles.py at sf0.01, the driver's
+    correctness scale) are pinned as VALUES. cluster_k_modularity's k_cc
+    column is NOT pinned: it is recomputed live by the recursive-CTE
+    transitive closure, joined to the 5 pinned k_modularity values.
+    """
+    try:
+        from tools.pinned_oracles import PINNED_SQL
+    except ImportError:  # pinned tables not generated yet
+        return {}
+    return PINNED_SQL

@@ -258,36 +258,31 @@ def spectral_cluster(
     grouped = edges.unionByName(verts)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        bk = pdf["_bk"].iloc[0]
-        ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
-        pos = {v: i for i, v in enumerate(ids)}
-        n = len(ids)
-        sim = np.zeros((n, n))
-        for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
-            i, j = pos[a], pos[b]
-            if i != j:
-                v = max(s, sim[i, j])
-                sim[i, j] = v
-                sim[j, i] = v
-        ks = pdf["_k"].dropna()
-        if n > max_block_rows:
-            labels = _threshold_cc_labels(sim, threshold)
-        else:
-            thr = sim.copy()
-            thr[thr <= threshold] = 0.0
-            k = int(ks.iloc[0]) if len(ks) else int(_n_components(thr > 0))
-            labels = spectral_labels(sim, k)
-        comp = {}
-        for lbl in np.unique(labels):
-            mem = [ids[i] for i in np.flatnonzero(labels == lbl)]
-            name = f"{bk}#{min(mem)}"
-            for m_ in mem:
-                comp[m_] = name
-        return pd.DataFrame({"block_key": bk, "id": ids, "component": [comp[i] for i in ids]})
+        return _solve_spectral_block(pdf, threshold, max_block_rows)
 
     return grouped.groupBy("_bk").applyInPandas(
         solve, schema="block_key string, id string, component string"
     )
+
+
+def _solve_spectral_block(
+    pdf: pd.DataFrame, threshold: float, max_block_rows: int
+) -> pd.DataFrame:
+    bk = pdf["_bk"].iloc[0]
+    ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    if n > max_block_rows:
+        # guard FIRST: the fallback never touches a dense matrix
+        labels = _threshold_cc_labels_edges(pdf, pos, n, threshold)
+    else:
+        sim = _dense_sim(pdf, pos, n)
+        ks = pdf["_k"].dropna()
+        thr = sim.copy()
+        thr[thr <= threshold] = 0.0
+        k = int(ks.iloc[0]) if len(ks) else int(_n_components(thr > 0))
+        labels = spectral_labels(sim, k)
+    return _labels_to_components(bk, ids, labels)
 
 
 def _threshold_cc_labels(sim: np.ndarray, threshold: float) -> np.ndarray:
@@ -303,6 +298,53 @@ def _threshold_cc_labels(sim: np.ndarray, threshold: float) -> np.ndarray:
     roots = np.array([_uf_find(parent, i) for i in range(n)])
     _, labels = np.unique(roots, return_inverse=True)
     return labels
+
+
+def _threshold_cc_labels_edges(
+    pdf: pd.DataFrame, pos: dict, n: int, threshold: float
+) -> np.ndarray:
+    """Thresholded union-find DIRECTLY over the (a, b, s) edge rows — the
+    oversized-block fallback. O(|E|) memory: never allocates the dense
+    n×n matrix, which is the whole point of the guard (an 100k-row block
+    would otherwise allocate 80 GB before the fallback could run)."""
+    parent = np.arange(n)
+    for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
+        if s > threshold:
+            i, j = pos[a], pos[b]
+            if i != j:
+                ri, rj = _uf_find(parent, i), _uf_find(parent, j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([_uf_find(parent, i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels
+
+
+def _dense_sim(pdf: pd.DataFrame, pos: dict, n: int) -> np.ndarray:
+    """Dense symmetric similarity matrix from edge rows (max over
+    duplicates, zero diagonal). Call ONLY behind the max_block_rows
+    guard — the dense solvers' O(n²) input."""
+    sim = np.zeros((n, n))
+    for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
+        i, j = pos[a], pos[b]
+        if i != j:
+            v = max(s, sim[i, j])
+            sim[i, j] = v
+            sim[j, i] = v
+    return sim
+
+
+def _labels_to_components(bk, ids: list, labels: np.ndarray) -> pd.DataFrame:
+    """(block_key, id, component) rows; component = block key + '#' +
+    lexicographically-smallest member id — deterministic, comparable to
+    connected_components output."""
+    comp = {}
+    for lbl in np.unique(labels):
+        mem = [ids[i] for i in np.flatnonzero(labels == lbl)]
+        name = f"{bk}#{min(mem)}"
+        for m in mem:
+            comp[m] = name
+    return pd.DataFrame({"block_key": bk, "id": ids, "component": [comp[i] for i in ids]})
 
 
 def estimate_k(
@@ -345,30 +387,33 @@ def estimate_k(
     grouped = edges.unionByName(verts)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        bk = pdf["_bk"].iloc[0]
-        ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
-        pos = {v: i for i, v in enumerate(ids)}
-        n = len(ids)
-        sim = np.zeros((n, n))
-        for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
-            i, j = pos[a], pos[b]
-            if i != j:
-                v = max(s, sim[i, j])
-                sim[i, j] = v
-                sim[j, i] = v
-        thr = sim.copy()
-        thr[thr <= threshold] = 0.0
-        k_cc = _n_components(thr > 0)
-        if n > max_block_rows or n <= 1:
-            k_mod = k_cc
-        else:
-            k_mod = len(np.unique(ghac_labels(sim, threshold)))
-        return pd.DataFrame(
-            {"block_key": [bk], "n": [n], "k_cc": [k_cc], "k_modularity": [k_mod]}
-        )
+        return _solve_estimate_k_block(pdf, threshold, max_block_rows)
 
     return grouped.groupBy("_bk").applyInPandas(
         solve, schema="block_key string, n long, k_cc long, k_modularity long"
+    )
+
+
+def _solve_estimate_k_block(
+    pdf: pd.DataFrame, threshold: float, max_block_rows: int
+) -> pd.DataFrame:
+    bk = pdf["_bk"].iloc[0]
+    ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    if n > max_block_rows or n <= 1:
+        # guard FIRST: k_cc needs only union-find over the edge rows —
+        # the dense matrix is never allocated for oversized blocks
+        k_cc = len(np.unique(_threshold_cc_labels_edges(pdf, pos, n, threshold)))
+        k_mod = k_cc
+    else:
+        sim = _dense_sim(pdf, pos, n)
+        thr = sim.copy()
+        thr[thr <= threshold] = 0.0
+        k_cc = _n_components(thr > 0)
+        k_mod = len(np.unique(ghac_labels(sim, threshold)))
+    return pd.DataFrame(
+        {"block_key": [bk], "n": [n], "k_cc": [k_cc], "k_modularity": [k_mod]}
     )
 
 
@@ -412,29 +457,23 @@ def ghac_cluster(
     grouped = edges.unionByName(verts)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        bk = pdf["_bk"].iloc[0]
-        ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
-        pos = {v: i for i, v in enumerate(ids)}
-        n = len(ids)
-        sim = np.zeros((n, n))
-        for a, b, s in zip(pdf["_a"], pdf["_b"], pdf["_s"]):
-            i, j = pos[a], pos[b]
-            if i != j:
-                v = max(s, sim[i, j])
-                sim[i, j] = v
-                sim[j, i] = v
-        if n > max_block_rows:
-            labels = _threshold_cc_labels(sim, threshold)
-        else:
-            labels = ghac_labels(sim, threshold)
-        comp = {}
-        for lbl in np.unique(labels):
-            mem = [ids[i] for i in np.flatnonzero(labels == lbl)]
-            name = f"{bk}#{min(mem)}"
-            for m in mem:
-                comp[m] = name
-        return pd.DataFrame({"block_key": bk, "id": ids, "component": [comp[i] for i in ids]})
+        return _solve_ghac_block(pdf, threshold, max_block_rows)
 
     return grouped.groupBy("_bk").applyInPandas(
         solve, schema="block_key string, id string, component string"
     )
+
+
+def _solve_ghac_block(
+    pdf: pd.DataFrame, threshold: float, max_block_rows: int
+) -> pd.DataFrame:
+    bk = pdf["_bk"].iloc[0]
+    ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    if n > max_block_rows:
+        # guard FIRST: the fallback never touches a dense matrix
+        labels = _threshold_cc_labels_edges(pdf, pos, n, threshold)
+    else:
+        labels = ghac_labels(_dense_sim(pdf, pos, n), threshold)
+    return _labels_to_components(bk, ids, labels)

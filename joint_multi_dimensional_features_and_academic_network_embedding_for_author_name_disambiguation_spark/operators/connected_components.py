@@ -122,8 +122,26 @@ def connected_components(
         row = {"iteration": it, "labels_changed": int(changed)}
         if count_components:
             # optional: a full extra job per iteration — only for lineage
-            # metrics, never needed for convergence
-            row["components"] = int(labels.select("component").distinct().count())
+            # metrics, never needed for convergence. After contraction the
+            # live label table is quotient-graph-scoped, which would
+            # UNDERCOUNT (components already converged to quotient
+            # singletons vanish) — compose through base_labels so the
+            # metric always counts original-vertex components.
+            if base_labels is not None:
+                composed = (
+                    base_labels.withColumnRenamed("component", "_c1")
+                    .join(
+                        labels.select(
+                            F.col("id").alias("_c1"), F.col("component").alias("_cf")
+                        ),
+                        "_c1",
+                        "left",
+                    )
+                    .select(F.coalesce(F.col("_cf"), F.col("_c1")).alias("component"))
+                )
+                row["components"] = int(composed.distinct().count())
+            else:
+                row["components"] = int(labels.select("component").distinct().count())
         metrics.append(row)
         if changed == 0:
             break

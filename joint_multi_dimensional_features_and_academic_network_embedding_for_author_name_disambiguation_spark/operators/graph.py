@@ -131,3 +131,65 @@ def outlier_reattach(
         lab.join(best, id_col, "left")
         .select(id_col, F.coalesce(F.col("_new_comp"), F.col(comp_col)).alias(comp_col))
     )
+
+
+def outlier_merge(
+    labels: DataFrame,
+    scored_pairs: DataFrame,
+    min_score: float = 0.5,
+    id_col: str = "id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Merge leftover singletons with EACH OTHER (G11 second phase).
+
+    The reference's outlier repair has two passes: re-attach outliers to
+    existing clusters, then pair remaining outliers with each other when
+    their mutual score clears the accept threshold
+    (src/local_embedding/local_embedding.py:432-441, duplicate
+    src/cluster_pred/cluster_predict.py:352-359). The reference's second
+    pass is a sequential last-writer sweep over ordered outlier pairs —
+    order-dependent; its order-independent closure is connected components
+    over the singleton×singleton edge set {(i,j): score ≥ min_score},
+    which is what runs here (merged component id = smallest member id,
+    the engine's CC convention). Run AFTER ``outlier_reattach``.
+    """
+    from .connected_components import connected_components
+
+    sizes = labels.groupBy(comp_col).agg(F.count("*").alias("_n"))
+    lab = labels.join(sizes, comp_col).select(
+        id_col, comp_col, (F.col("_n") == 1).alias("_single")
+    )
+    singles = lab.where(F.col("_single")).select(F.col(id_col).alias("id"))
+    edges = (
+        scored_pairs.where(F.col(score_col) >= min_score)
+        .select("id_a", "id_b")
+        .join(singles.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(singles.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+    )
+    cc = connected_components(singles, edges)
+    gsize = cc.labels.groupBy("component").agg(F.count("*").alias("_gn"))
+    merged = (
+        cc.labels.join(gsize, "component")
+        .where(F.col("_gn") > 1)
+        .select(F.col("id").alias(id_col), F.col("component").alias("_mc"))
+    )
+    return lab.join(merged, id_col, "left").select(
+        id_col, F.coalesce(F.col("_mc"), F.col(comp_col)).alias(comp_col)
+    )
+
+
+def outlier_repair(
+    labels: DataFrame,
+    scored_pairs: DataFrame,
+    min_score: float = 0.5,
+    id_col: str = "id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Both G11 phases in reference order: singleton→cluster reattachment,
+    then leftover singleton×singleton merge."""
+    attached = outlier_reattach(
+        labels, scored_pairs, min_score, id_col, comp_col, score_col
+    )
+    return outlier_merge(attached, scored_pairs, min_score, id_col, comp_col, score_col)

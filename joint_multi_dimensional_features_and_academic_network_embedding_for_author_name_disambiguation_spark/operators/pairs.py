@@ -26,6 +26,54 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Forced-broadcast byte budget for the payload join-back. Spark's hard
+# broadcast cap is 8 GB; this leaves headroom for BOTH sides (a-payload +
+# b-payload are separate broadcast variables) plus driver copies.
+BROADCAST_BYTE_CAP = 2_000_000_000
+
+
+def _row_bytes_expr(df: DataFrame):
+    """Per-row serialized-size estimate as a column expression: element
+    counts × JVM-ish widths for arrays/maps, lengths for strings, 16 B for
+    scalars. Deliberately coarse — it only gates a broadcast-vs-shuffle
+    decision, and Catalyst's own stats are exactly what overshoots here."""
+    parts = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        t = f.dataType
+        if isinstance(t, T.ArrayType):
+            parts.append(F.coalesce(F.size(c), F.lit(0)) * 12 + 16)
+        elif isinstance(t, T.MapType):
+            parts.append(F.coalesce(F.size(c), F.lit(0)) * 24 + 16)
+        elif isinstance(t, (T.StringType, T.BinaryType)):
+            parts.append(F.coalesce(F.length(c), F.lit(0)) + 20)
+        else:
+            parts.append(F.lit(16))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out.cast("double")
+
+
+def estimated_broadcast_bytes(df: DataFrame, n_rows: int, sample_rows: int = 2000) -> float:
+    """rows × mean serialized row size, mean from one bounded sample job.
+
+    The r3 forced broadcast was gated on a ROW count (≤ 2M) — but member
+    rows carry token/shingle/tfidf arrays measured in KBs, so 2M such rows
+    are multiple GB, past Spark's 8 GB broadcast cap. Byte-gating keeps
+    the forced-broadcast fix for Catalyst's overshooting size estimate
+    while failing over to the shuffled join before the broadcast can OOM.
+    """
+    if n_rows <= 0:
+        return 0.0
+    row = (
+        df.limit(sample_rows)
+        .select(F.avg(_row_bytes_expr(df)).alias("b"))
+        .collect()[0]["b"]
+    )
+    return float(n_rows) * float(row or 0.0)
 
 
 def blocked_pairs(
@@ -111,6 +159,7 @@ def pairs_from_keys(
     members: DataFrame,
     id_col: str = "id",
     max_rows_per_task: int = 2000,
+    broadcast_byte_cap: int = BROADCAST_BYTE_CAP,
 ) -> DataFrame:
     """Candidate pairs from a skinny (id, block_key) key table.
 
@@ -131,12 +180,15 @@ def pairs_from_keys(
         pb = members.select(
             F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in payload]
         )
-        # Force broadcast for modest member counts: Catalyst's size
+        # Force broadcast when the payload genuinely fits: Catalyst's size
         # estimate of array payload (shingle/vector columns) overshoots
         # the autoBroadcast threshold and falls back to SortMergeJoin,
-        # sorting the whole pair stream twice. One cheap count decides;
-        # above the bound the shuffled join is the right plan anyway.
-        if members.count() <= 2_000_000:
+        # sorting the whole pair stream twice. Gate on ESTIMATED BYTES
+        # (count × sampled mean row size, ×2 for the two broadcast
+        # copies), not rows; above the cap the shuffled join is the right
+        # plan anyway.
+        n_members = members.count()
+        if estimated_broadcast_bytes(members, n_members) * 2 <= broadcast_byte_cap:
             pa, pb = F.broadcast(pa), F.broadcast(pb)
         pairs = pairs.join(pa, "id_a").join(pb, "id_b")
     return pairs

@@ -266,7 +266,22 @@ def fit_channel_weights(
     """
     default_space = CHANNEL_WEIGHTS_EMB if "emb_cosine" in scored_pairs.columns else CHANNEL_WEIGHTS
     chs = list(channels) if channels else [c for c in default_space if c in scored_pairs.columns]
-    j = scored_pairs.join(labeled_pairs.select("id_a", "id_b", label_col), ["id_a", "id_b"])
+
+    # canonicalize pair orientation on BOTH sides: labeled pairs stored
+    # reversed ((b, a) for a scored (a, b)) would otherwise silently drop
+    # out of the training set and bias the fit. Channels are symmetric
+    # scalars, so only the id columns need the least/greatest swap.
+    def _canon(df: DataFrame) -> DataFrame:
+        rest = [c for c in df.columns if c not in ("id_a", "id_b")]
+        return df.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *rest,
+        )
+
+    j = _canon(scored_pairs).join(
+        _canon(labeled_pairs.select("id_a", "id_b", label_col)), ["id_a", "id_b"]
+    )
     df = j.select(
         *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in chs],
         F.col(label_col).cast("double").alias("label"),

@@ -152,8 +152,13 @@ def ivf_search(
     q_id: str = "q_id",
     c_id: str = "c_id",
     vec: str = "vec",
+    round_digits: int = 9,
 ) -> DataFrame:
-    """Probe the nprobe nearest centroids per query, exact cosine inside."""
+    """Probe the nprobe nearest centroids per query, exact cosine inside.
+
+    ``round_digits`` sets the cosine precision BEFORE ranking (ties broken
+    by c_id), so results are rank-comparable with a baseline computed at
+    the same precision (e.g. the round-6 brute-force oracle)."""
     q = queries.select(F.col(q_id).alias("q_id"), F.col(vec).alias("_qv"))
     qprobe = q.crossJoin(F.broadcast(centroids)).select(
         "q_id", "_qv", "centroid_id", cosine(F.col("_qv"), F.col("cvec")).alias("_cs")
@@ -162,7 +167,7 @@ def ivf_search(
     qprobe = qprobe.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe).select("q_id", "_qv", "centroid_id")
     cc = corpus.select(F.col(c_id).alias("c_id"), F.col(vec).alias("_cv")).join(assignments, "c_id")
     scored = qprobe.join(cc, "centroid_id").select(
-        "q_id", "c_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("cosine")
+        "q_id", "c_id", F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cosine")
     )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

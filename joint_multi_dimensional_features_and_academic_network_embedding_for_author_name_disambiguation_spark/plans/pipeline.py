@@ -197,19 +197,23 @@ def run_pipeline(
     # ---- stage 2: scoring -----------------------------------------------------
     # Payload attaches via two joins of the (small, persisted) members
     # table, then one scoring pass. The joins are FORCED broadcast when the
-    # member count is modest: Catalyst's size ESTIMATE of the map/array
+    # payload genuinely fits: Catalyst's size ESTIMATE of the map/array
     # payload columns blows past the autoBroadcast threshold even for a
     # 23k-row table, silently picking SortMergeJoin — which sorts the
     # ENTIRE pair stream twice (measured: the dominant, worst-scaling cost
-    # of the scoring stage on the 14.5M-pair workload). Above the row
-    # bound (payload no longer fits executor memory — the true 100 TB
-    # regime) it stays a shuffled join over data-sized partitions.
+    # of the scoring stage on the 14.5M-pair workload). The gate is
+    # ESTIMATED BYTES (count × sampled mean row size, ×2 for the two
+    # broadcast copies) against a 2 GB budget — above it (payload no
+    # longer fits executor memory, the true 100 TB regime) it stays a
+    # shuffled join over data-sized partitions.
     def build_scored() -> DataFrame:
+        from ..operators.pairs import BROADCAST_BYTE_CAP, estimated_broadcast_bytes
+
         payload = members.drop("block_key")
         pcols = [c for c in payload.columns if c != "id"]
         pa = payload.select(F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in pcols])
         pb = payload.select(F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in pcols])
-        if n_members <= 2_000_000:
+        if estimated_broadcast_bytes(payload, n_members) * 2 <= BROADCAST_BYTE_CAP:
             pa, pb = F.broadcast(pa), F.broadcast(pb)
         wide = pairs.join(pa, "id_a").join(pb, "id_b")
         weights = channel_weights

@@ -79,6 +79,16 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
 
+    # Python workers must be able to import this package no matter the
+    # caller's cwd: applyInPandas/mapInPandas closures reference module
+    # functions, and the worker daemon (which inherits this env) re-imports
+    # the defining module. On a real cluster --py-files does this; locally,
+    # put the repo root on PYTHONPATH before the daemon can start.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

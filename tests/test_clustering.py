@@ -232,3 +232,51 @@ def test_estimate_k_two_estimators(spark):
     small = estimate_k(scored, members, threshold=0.3, max_block_rows=4).collect()
     for r in small:
         assert r["k_modularity"] == r["k_cc"]
+
+
+def test_oversized_block_never_allocates_dense(monkeypatch):
+    """The max_block_rows guard runs BEFORE any dense allocation: an
+    oversized block must be solved by union-find over the edge rows with
+    the dense-matrix builder completely unreachable (a 100k-row block
+    would otherwise allocate ~80 GB just to reach the fallback)."""
+    import pandas as pd
+
+    from jmdfane_spark.operators import clustering as C
+
+    def boom(*a, **k):
+        raise AssertionError("dense sim matrix built on the fallback path")
+
+    monkeypatch.setattr(C, "_dense_sim", boom)
+
+    n = 12
+    rows = {
+        "_bk": ["big"] * (n + n - 1),
+        "_a": [f"v{i:02d}" for i in range(n)] + [f"v{i:02d}" for i in range(n - 1)],
+        "_b": [f"v{i:02d}" for i in range(n)] + [f"v{i+1:02d}" for i in range(n - 1)],
+        "_s": [0.0] * n + [0.9 if i % 2 == 0 else 0.1 for i in range(n - 1)],
+    }
+    pdf = pd.DataFrame(rows)
+
+    out = C._solve_ghac_block(pdf, threshold=0.3, max_block_rows=5)
+    # chain with every other edge above threshold: v0-v1, v2-v3, ... pairs
+    comp = dict(zip(out["id"], out["component"]))
+    assert comp["v00"] == comp["v01"] and comp["v02"] == comp["v03"]
+    assert comp["v01"] != comp["v02"]
+
+    pdf_k = pdf.copy()
+    outk = C._solve_estimate_k_block(pdf_k, threshold=0.3, max_block_rows=5)
+    assert outk["k_cc"].iloc[0] == 6 and outk["k_modularity"].iloc[0] == 6
+
+    pdf_s = pdf.copy()
+    pdf_s["_k"] = None
+    outs = C._solve_spectral_block(pdf_s, threshold=0.3, max_block_rows=5)
+    comp_s = dict(zip(outs["id"], outs["component"]))
+    assert comp_s["v00"] == comp_s["v01"] and comp_s["v01"] != comp_s["v02"]
+
+    # below the guard the dense path IS taken (and our stub fires)
+    try:
+        C._solve_ghac_block(pdf, threshold=0.3, max_block_rows=100)
+    except AssertionError as e:
+        assert "dense sim" in str(e)
+    else:
+        raise AssertionError("dense path not taken for a small block")

@@ -145,3 +145,41 @@ def test_truncated_walks_preserved_by_frontier_split(spark):
     for (w, s), p in seen.items():
         if s.startswith("z"):
             assert p == (s,), (w, s, p)
+
+
+def test_outlier_merge_pairs_leftover_singletons(spark):
+    """G11 second phase (reference local_embedding.py:432-441): after
+    reattachment, leftover singletons with mutual score >= tau end up in
+    ONE component; sub-threshold singleton pairs stay apart; members of
+    real clusters are untouched."""
+    from jmdfane_spark.operators.graph import outlier_merge, outlier_repair
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("x", "x"), ("y", "y"), ("z", "z"), ("w", "w")],
+        "id string, component string",
+    )
+    scored = spark.createDataFrame(
+        # x-y and y-z clear tau (transitive chain); w only has a weak edge
+        [("x", "y", 0.8), ("y", "z", 0.7), ("z", "w", 0.2), ("a", "x", 0.1)],
+        "id_a string, id_b string, score double",
+    )
+    out = {r.id: r.component for r in outlier_merge(labels, scored, min_score=0.5).collect()}
+    assert out["x"] == out["y"] == out["z"] == "x"  # CC min-id convention
+    assert out["w"] == "w"                          # weak edge: stays singleton
+    assert out["a"] == "c1" and out["b"] == "c1"    # non-singletons untouched
+
+    # hand-computed reference trace for the combined repair: x reattaches
+    # to c1 (best non-singleton partner a at 0.9 >= tau), then leftovers
+    # y,z merge with each other (0.7 >= tau), w stays put
+    labels2 = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("x", "x"), ("y", "y"), ("z", "z"), ("w", "w")],
+        "id string, component string",
+    )
+    scored2 = spark.createDataFrame(
+        [("a", "x", 0.9), ("y", "z", 0.7), ("z", "w", 0.2)],
+        "id_a string, id_b string, score double",
+    )
+    rep = {r.id: r.component for r in outlier_repair(labels2, scored2, min_score=0.5).collect()}
+    assert rep["x"] == "c1"
+    assert rep["y"] == rep["z"] == "y"
+    assert rep["w"] == "w"

@@ -152,3 +152,28 @@ def test_connected_components_contraction_long_chain(spark):
     # pointer jumping gives O(log diameter) rounds: a diameter-20 chain
     # must converge in far fewer than 20 iterations in both modes
     assert contracted.iterations <= 9 and plain.iterations <= 9
+
+
+def test_payload_broadcast_gated_on_bytes(spark):
+    """The forced payload broadcast is byte-gated: a wide-payload members
+    table above the cap must plan a non-broadcast join (the r3 row-count
+    gate would have forced a multi-GB broadcast at the 2M-row margin)."""
+    from jmdfane_spark.operators.pairs import estimated_broadcast_bytes, pairs_from_keys
+
+    rows = [(f"id{i}", "b0", list(range(500))) for i in range(40)]
+    members = spark.createDataFrame(rows, "id string, block_key string, payload array<int>")
+    keys = members.select("id", "block_key")
+    est = estimated_broadcast_bytes(members, 40)
+    assert est > 40 * 500 * 8  # array bytes dominate the estimate
+
+    over = pairs_from_keys(keys, members.drop("block_key"), broadcast_byte_cap=int(est))
+    plan_over = over._jdf.queryExecution().executedPlan().toString()
+    under = pairs_from_keys(keys, members.drop("block_key"), broadcast_byte_cap=10**9)
+    plan_under = under._jdf.queryExecution().executedPlan().toString()
+    # the payload join-back: forced broadcast below the cap, shuffled above
+    assert "BroadcastHashJoin" in plan_under
+    assert plan_over.count("BroadcastHashJoin") < plan_under.count("BroadcastHashJoin")
+    # both produce the identical pair set either way
+    assert sorted(map(tuple, over.select("id_a", "id_b").collect())) == sorted(
+        map(tuple, under.select("id_a", "id_b").collect())
+    )

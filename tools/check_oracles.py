@@ -43,9 +43,13 @@ def canon(v):
     return str(v)
 
 
-def rowset(cols, rows):
+def rowset(cols, rows, keep_order=False):
+    # keep_order=True mirrors the DRIVER's hash lane: rows compared in
+    # delivered order (every query now carries a deterministic orderBy and
+    # every oracle the matching ORDER BY, so delivered order must agree)
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(",".join(canon(r[i]) for i in idx) for r in rows)
+    lines = [",".join(canon(r[i]) for i in idx) for r in rows]
+    return lines if keep_order else sorted(lines)
 
 
 def main():
@@ -87,11 +91,20 @@ def main():
             continue
         a = rowset(scols, [[r[c] for c in scols] for r in srows])
         b = rowset(dcols, drows)
-        if a == b:
-            results[name] = f"OK ({len(srows)} rows, {time.time()-t0:.1f}s)"
-        else:
+        if a != b:
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             results[name] = f"VALUE MISMATCH ({len([1 for x, y in zip(a, b) if x != y])}/{len(a)} rows) e.g. {diffs[:2]}"
+            continue
+        ao = rowset(scols, [[r[c] for c in scols] for r in srows], keep_order=True)
+        bo = rowset(dcols, drows, keep_order=True)
+        if ao == bo:
+            results[name] = f"OK ({len(srows)} rows, {time.time()-t0:.1f}s)"
+        else:
+            k = next(i for i, (x, y) in enumerate(zip(ao, bo)) if x != y)
+            results[name] = (
+                f"ROW-ORDER MISMATCH (values equal; first diff at row {k}: "
+                f"spark={ao[k][:80]} duck={bo[k][:80]})"
+            )
 
     width = max(len(k) for k in results)
     nok = 0
