@@ -231,8 +231,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming ≤ 3 near-dup pairs. NOT SQL-expressible (xxhash64);
-    driver records rows-only; exactness covered by tests/test_dedup.py."""
+    """SimHash hamming ≤ 3 near-dup pairs. NOT SQL-recomputable (xxhash64
+    has no DuckDB twin) — the oracle is a pinned regression table
+    (tools/gen_pinned_oracles.py); exactness vs brute force covered by
+    tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), F.col("hamming").cast("long").alias("hamming")
@@ -770,11 +772,13 @@ def q_eval_triplet_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cluster_k_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G10: two per-block k estimators side by side — thresholded-CC count
-    and modularity-argmax k from the GHAC dendrogram scan (the reference's
-    FastNewman role, src/cluster_pred/cluster_predict.py:41-129). The
-    modularity argmax is not SQL-expressible — driver records rows-only;
-    exactness covered by tests/test_clustering.py (planted-k fixture)."""
+    """G10: three per-block k estimators side by side — thresholded-CC
+    count (live recursive-CTE oracle), modularity-argmax k from the GHAC
+    dendrogram scan, and greedy-CNM FastNewman k (the reference estimator,
+    src/cluster_pred/cluster_predict.py:41-129). The two modularity
+    argmaxes are not SQL-expressible — their columns are pinned regression
+    values (tools/gen_pinned_oracles.py); exactness covered by
+    tests/test_clustering.py (planted-k fixtures + CNM trace oracle)."""
     from jmdfane_spark.operators.clustering import estimate_k
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1006,7 +1010,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM inter i JOIN s sa ON i.doc_a = sa.doc_id JOIN s sb ON i.doc_b = sb.doc_id)
             SELECT doc_a, doc_b, round(jr, 6) AS jaccard FROM j WHERE jr >= 0.6
         """,
-        # dedup_simhash: intentionally no oracle (xxhash64-based; rows-only)
+        # dedup_simhash: pinned regression oracle via _pinned_oracles()
         "ann_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
             c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -154,6 +154,51 @@ def ghac_labels(sim: np.ndarray, threshold: float = 0.3) -> np.ndarray:
     return best
 
 
+def fastnewman_labels(adj: np.ndarray) -> np.ndarray:
+    """Greedy CNM agglomeration — the reference's FastNewman k-estimator
+    (src/cluster_pred/cluster_predict.py:41-129): start from singleton
+    communities, repeatedly merge the CONNECTED pair with maximum
+    ΔQ = 2·(e_ij − a_i·a_j) (row-major first on ties, J merged into I),
+    record Q = Σ e_nn − a_n² after each merge, and return the partition at
+    the modularity argmax of the merge sequence (earliest — largest k —
+    wins Q ties, matching np.argmax).
+
+    ``adj``: symmetric adjacency (binary, as the reference feeds it from
+    its edge graph; weights also work — CNM's formulas are weight-ready).
+    """
+    n = adj.shape[0]
+    if n <= 1:
+        return np.zeros(n, dtype=int)
+    tot = float(adj.sum())
+    if tot == 0:
+        return np.arange(n)
+    e = adj.astype("float64") / tot
+    comms: list[list[int]] = [[i] for i in range(n)]
+    best_q, best_part = -np.inf, None
+    while len(comms) > 1:
+        a = e.sum(axis=0)
+        mask = np.triu(e != 0, 1)
+        if not mask.any():
+            break  # no connected pair left (disconnected remainder)
+        dq = np.where(mask, 2.0 * (e - np.outer(a, a)), -np.inf)
+        i, j = np.unravel_index(int(np.argmax(dq)), dq.shape)
+        e[i, :] += e[j, :]
+        e[:, i] += e[:, j]
+        e = np.delete(np.delete(e, j, axis=0), j, axis=1)
+        comms[i] = comms[i] + comms[j]
+        del comms[j]
+        q = float(np.trace(e) - (e.sum(axis=0) ** 2).sum())
+        if q > best_q:
+            best_q, best_part = q, [list(c) for c in comms]
+    if best_part is None:
+        best_part = comms
+    labels = np.zeros(n, dtype=int)
+    for lbl, mem in enumerate(best_part):
+        for v in mem:
+            labels[v] = lbl
+    return labels
+
+
 def _kmeans_once(x: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, float]:
     """One deterministic Lloyd run with k-means++ seeding; returns
     (labels, inertia)."""
@@ -356,21 +401,24 @@ def estimate_k(
     threshold: float = 0.3,
     max_block_rows: int = 2048,
 ) -> DataFrame:
-    """Per-block cluster-count estimation, two estimators (G10).
+    """Per-block cluster-count estimation, three estimators (G10).
 
     The reference ships several k estimators (HDBSCAN at
     src/cluster_pred/cluster_predict.py:132-160, FastNewman :41-129,
-    Girvan-Newman :174-255). Here the two that map onto this engine's
+    Girvan-Newman :174-255). Here the three that map onto this engine's
     solvers:
 
       k_cc         — thresholded-component count (the default, = what
                      spectral_cluster uses when no true k is given);
       k_modularity — cluster count at the modularity argmax of the
-                     average-linkage dendrogram k-scan (``ghac_labels``)
-                     — the FastNewman role: modularity picks k.
+                     average-linkage dendrogram k-scan (``ghac_labels``);
+      k_fastnewman — greedy CNM agglomeration on the thresholded BINARY
+                     adjacency (``fastnewman_labels``) — the reference's
+                     FastNewman estimator verbatim.
 
-    Returns (block_key, n, k_cc, k_modularity). Oversized blocks report
-    k_modularity = k_cc (the same union-find fallback ghac_cluster uses).
+    Returns (block_key, n, k_cc, k_modularity, k_fastnewman). Oversized
+    blocks report k_modularity = k_fastnewman = k_cc (the same union-find
+    fallback ghac_cluster uses).
     """
     edges = scored.select(
         F.col(block_col).alias("_bk"),
@@ -390,7 +438,8 @@ def estimate_k(
         return _solve_estimate_k_block(pdf, threshold, max_block_rows)
 
     return grouped.groupBy("_bk").applyInPandas(
-        solve, schema="block_key string, n long, k_cc long, k_modularity long"
+        solve,
+        schema="block_key string, n long, k_cc long, k_modularity long, k_fastnewman long",
     )
 
 
@@ -405,15 +454,22 @@ def _solve_estimate_k_block(
         # guard FIRST: k_cc needs only union-find over the edge rows —
         # the dense matrix is never allocated for oversized blocks
         k_cc = len(np.unique(_threshold_cc_labels_edges(pdf, pos, n, threshold)))
-        k_mod = k_cc
+        k_mod = k_fn = k_cc
     else:
         sim = _dense_sim(pdf, pos, n)
         thr = sim.copy()
         thr[thr <= threshold] = 0.0
         k_cc = _n_components(thr > 0)
         k_mod = len(np.unique(ghac_labels(sim, threshold)))
+        k_fn = len(np.unique(fastnewman_labels((thr > 0).astype("float64"))))
     return pd.DataFrame(
-        {"block_key": [bk], "n": [n], "k_cc": [k_cc], "k_modularity": [k_mod]}
+        {
+            "block_key": [bk],
+            "n": [n],
+            "k_cc": [k_cc],
+            "k_modularity": [k_mod],
+            "k_fastnewman": [k_fn],
+        }
     )
 
 

@@ -91,6 +91,8 @@ def run_pipeline(
     clusterer: str = "cc",
     true_k: DataFrame | None = None,
     channel_weights: dict[str, float] | None = None,
+    repair_outliers: bool = False,
+    repair_min_score: float | None = None,
 ) -> PipelineResult:
     """clusterer: "cc" (distributed hash-min connected components),
     "ghac" (per-block average-linkage + modularity k-scan), or "spectral"
@@ -104,6 +106,12 @@ def run_pipeline(
     channel_weights: optional fused-score weights (e.g. from
     ``scoring.fit_channel_weights`` on labeled pairs); None → the fixed
     defaults.
+
+    repair_outliers: run the G11 post-clustering repair (reference
+    local_embedding.py:400-441) — singletons re-attach to their best
+    scoring non-singleton partner, then leftover singletons with mutual
+    score ≥ repair_min_score (default: ``threshold``) merge with each
+    other.
     """
     import time as _time
 
@@ -328,6 +336,8 @@ def run_pipeline(
         labels = vertices.join(glabels.select("id", "component"), "id").select(
             "block_key", "id", "component", "content_sha"
         )
+        if repair_outliers:
+            labels = _repair(labels, scored, repair_min_score or threshold)
         p2.unpersist()
         if ck:
             ck.log_metric(
@@ -350,4 +360,21 @@ def run_pipeline(
         ck.flush_metrics()
 
     labels = vertices.join(cc.labels, "id").select("block_key", "id", "component", "content_sha")
+    if repair_outliers:
+        labels = _repair(labels, scored, repair_min_score or threshold)
     return PipelineResult(labels=labels, metrics=metrics)
+
+
+def _repair(labels: DataFrame, scored: DataFrame, min_score: float) -> DataFrame:
+    """G11 post-clustering repair over the pipeline's label/score tables,
+    preserving the (block_key, id, component, content_sha) contract."""
+    from ..operators.graph import outlier_repair
+
+    fixed = outlier_repair(
+        labels.select("id", "component"),
+        scored.select("id_a", "id_b", "score"),
+        min_score=min_score,
+    )
+    return labels.drop("component").join(fixed, "id").select(
+        "block_key", "id", "component", "content_sha"
+    )

@@ -280,3 +280,70 @@ def test_oversized_block_never_allocates_dense(monkeypatch):
         assert "dense sim" in str(e)
     else:
         raise AssertionError("dense path not taken for a small block")
+
+
+def test_fastnewman_greedy_modularity():
+    """CNM trace oracle (reference FastNewman, cluster_predict.py:41-129):
+    two triangles joined by one bridge edge — greedy ΔQ merges collapse
+    each triangle, and the modularity argmax lands at 2 communities."""
+    from jmdfane_spark.operators.clustering import fastnewman_labels
+
+    n = 6
+    adj = np.zeros((n, n))
+    for a, b in [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]:
+        adj[a, b] = adj[b, a] = 1.0
+    labels = fastnewman_labels(adj)
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+
+    # disconnected: no bridge — still two communities at the argmax
+    adj2 = adj.copy()
+    adj2[2, 3] = adj2[3, 2] = 0.0
+    labels2 = fastnewman_labels(adj2)
+    assert len(np.unique(labels2)) == 2
+
+    # degenerate inputs
+    assert fastnewman_labels(np.zeros((1, 1))).tolist() == [0]
+    assert fastnewman_labels(np.zeros((3, 3))).tolist() == [0, 1, 2]
+
+
+def test_estimate_k_fastnewman_column(spark):
+    """k_fastnewman from estimate_k matches the numpy kernel run on the
+    same thresholded binary adjacency per block."""
+    from jmdfane_spark.operators.clustering import estimate_k, fastnewman_labels
+
+    clean3 = (
+        [("clean3", f"c{g}_{i}", f"c{g}_{j}", 0.9) for g in range(3) for i in range(3) for j in range(3) if i < j]
+        + [("clean3", "c0_0", "c1_0", 0.2), ("clean3", "c1_0", "c2_0", 0.2)]
+    )
+    bridge = (
+        [("bridge", f"x{i}", f"x{j}", 0.9) for i in range(3) for j in range(3) if i < j]
+        + [("bridge", f"y{i}", f"y{j}", 0.9) for i in range(3) for j in range(3) if i < j]
+        + [("bridge", "x0", "y0", 0.4)]
+    )
+    scored = spark.createDataFrame(
+        clean3 + bridge, "block_key string, id_a string, id_b string, score double"
+    )
+    ids = sorted({r[1] for r in clean3 + bridge} | {r[2] for r in clean3 + bridge})
+    members = spark.createDataFrame(
+        [("clean3", v) for v in ids if v.startswith("c")]
+        + [("bridge", v) for v in ids if v[0] in "xy"],
+        "block_key string, id string",
+    )
+    got = {r["block_key"]: r for r in estimate_k(scored, members, threshold=0.3).collect()}
+    for bk, rows_ in (("clean3", clean3), ("bridge", bridge)):
+        vs = sorted({r[1] for r in rows_} | {r[2] for r in rows_})
+        pos = {v: i for i, v in enumerate(vs)}
+        sim = np.zeros((len(vs), len(vs)))
+        for _, a, b, s in rows_:
+            sim[pos[a], pos[b]] = sim[pos[b], pos[a]] = s
+        thr = sim.copy()
+        thr[thr <= 0.3] = 0.0
+        want = len(np.unique(fastnewman_labels((thr > 0).astype("float64"))))
+        assert got[bk]["k_fastnewman"] == want, bk
+    assert got["clean3"]["k_fastnewman"] == 3
+    assert got["bridge"]["k_fastnewman"] == 2
+    # oversized fallback: all three estimators collapse to k_cc
+    for r in estimate_k(scored, members, threshold=0.3, max_block_rows=4).collect():
+        assert r["k_fastnewman"] == r["k_cc"] == r["k_modularity"]

@@ -126,3 +126,29 @@ def test_fitted_channel_weights(spark, fixture_dfs):
     f1_fix = pairwise_f1_on_labeled_pairs(res_fix.labels, lpairs)["f1"]
     assert f1_fit >= 0.99, (f1_fit, w1)
     assert f1_fit >= f1_fix - 1e-9, (f1_fit, f1_fix, w1)
+
+
+def test_repair_outliers_option(spark, fixture_dfs):
+    """G11 repair wired into the pipeline. With clusterer="cc" and the
+    default repair_min_score == threshold it is provably a no-op (any pair
+    scoring >= threshold is already a CC edge, so singletons have no
+    eligible partner); with a lowered repair_min_score it can only merge —
+    the component count never increases and the schema is preserved."""
+    files, labels, lpairs = fixture_dfs
+    base = run_pipeline(spark, files, use_bands=False, use_tfidf=True)
+    rep = run_pipeline(
+        spark, files, use_bands=False, use_tfidf=True, repair_outliers=True
+    )
+    assert rep.labels.columns == ["block_key", "id", "component", "content_sha"]
+    b = {(r["id"], r["component"]) for r in base.labels.collect()}
+    r = {(r["id"], r["component"]) for r in rep.labels.collect()}
+    assert b == r  # no-op at min_score == threshold after CC
+
+    low = run_pipeline(
+        spark, files, use_bands=False, use_tfidf=True,
+        repair_outliers=True, repair_min_score=0.05,
+    )
+    n_base = base.labels.select("component").distinct().count()
+    n_low = low.labels.select("component").distinct().count()
+    assert n_low <= n_base
+    assert low.labels.count() == base.labels.count()  # no rows lost

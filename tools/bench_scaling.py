@@ -57,16 +57,26 @@ from pyspark.sql import functions as _F
 spark.range(2_000_000).select(_F.sum(_F.xxhash64("id"))).collect()
 run_pipeline(spark, files.limit(400), threshold=0.40, use_bands=False,
              use_tfidf=True, max_rows_per_task=500).labels.count()
+def _cpu_times():
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+c_before = _cpu_times()
 t0 = time.time()
 res = run_pipeline(spark, files, threshold=0.40, use_bands=False,
                    use_tfidf=True, max_rows_per_task=500)
 res.labels.count()
 wall = time.time() - t0
+c_after = _cpu_times()
+d = [b - a for a, b in zip(c_before, c_after)]
+# /proc/stat cpu fields: user nice system idle iowait irq softirq steal …
+steal_pct = round(100.0 * d[7] / max(1, sum(d)), 2) if len(d) > 7 else None
 stage_t = {{k: v for k, v in res.metrics.items() if k.startswith("t_")}}
 print(json.dumps({{"cores": cores, "wall_sec": round(wall, 3),
                    "pairs_scored": res.metrics["pairs_scored"],
                    "pairs_per_sec": round(res.metrics["pairs_scored"]/wall, 1),
-                   "stage_sec": stage_t}}))
+                   "stage_sec": stage_t,
+                   "host_steal_pct": steal_pct}}))
 """
 
 
@@ -89,13 +99,26 @@ def main() -> None:
     # while 4→16 physical cores deliver ~0.89 — the honest N-vs-4N pair
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    print(f"running local[{n_low}] ...", file=sys.stderr)
-    low = run_one(n_low, sf_dir)
-    print(json.dumps(low), file=sys.stderr)
-    print(f"running local[{n_high}] ...", file=sys.stderr)
-    high = run_one(n_high, sf_dir)
-    print(json.dumps(high), file=sys.stderr)
+    # Repeats: this host shows ±15% run-to-run wall variance on IDENTICAL
+    # code+data with <1% CPU steal and clean occupancy (measured r4:
+    # 16-core legs 209/236/273 s back-to-back) — GC/clock variance, not
+    # interference. Legs are INTERLEAVED (L H L H …) so slow host drift
+    # hits both legs alike, and the reported figure is the per-leg MEDIAN
+    # throughput; every individual run is kept in the result.
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    lows, highs = [], []
+    for r in range(reps):
+        print(f"rep {r+1}/{reps}: running local[{n_low}] ...", file=sys.stderr)
+        lows.append(run_one(n_low, sf_dir))
+        print(json.dumps(lows[-1]), file=sys.stderr)
+        print(f"rep {r+1}/{reps}: running local[{n_high}] ...", file=sys.stderr)
+        highs.append(run_one(n_high, sf_dir))
+        print(json.dumps(highs[-1]), file=sys.stderr)
 
+    def median_leg(runs: list[dict]) -> dict:
+        return sorted(runs, key=lambda r: r["pairs_per_sec"])[len(runs) // 2]
+
+    low, high = median_leg(lows), median_leg(highs)
     ratio = n_high / n_low
     eff = (high["pairs_per_sec"] / low["pairs_per_sec"]) / ratio
     result = {
@@ -103,6 +126,9 @@ def main() -> None:
         "sf_dir": sf_dir,
         "low": low,
         "high": high,
+        "reps": reps,
+        "all_low_pairs_per_sec": [r["pairs_per_sec"] for r in lows],
+        "all_high_pairs_per_sec": [r["pairs_per_sec"] for r in highs],
         "speedup": round(high["pairs_per_sec"] / low["pairs_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
