@@ -106,21 +106,52 @@ def main() -> None:
     # hits both legs alike, and the reported figure is the per-leg MEDIAN
     # throughput; every individual run is kept in the result.
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    lows, highs = [], []
+
+    # Host-drift control: this sandbox's physical host drifts ±40% in
+    # single-core speed on a minutes timescale with ZERO guest load and
+    # <1% steal (measured r4: a fixed pure-python loop 2.45→4.12→2.69 s
+    # while idle). The drift hits wide legs harder (shared power budget),
+    # so each engine leg is BRACKETED by the pure-CPU calibration pair at
+    # the same core counts, and the result reports raw AND
+    # ceiling-normalized efficiency for the same window.
+    from cpu_calibration import run_k  # noqa: E402 (same dir)
+
+    def ceiling_pair() -> dict:
+        lo = run_k(n_low)
+        hi = run_k(n_high)
+        return {
+            "ops_low": round(lo, 1),
+            "ops_high": round(hi, 1),
+            "ceiling_eff": round((hi / lo) / (n_high / n_low), 3),
+        }
+
+    lows, highs, ceilings = [], [], []
     for r in range(reps):
+        ceilings.append(ceiling_pair())
+        print(f"ceiling before rep {r+1}: {ceilings[-1]}", file=sys.stderr)
         print(f"rep {r+1}/{reps}: running local[{n_low}] ...", file=sys.stderr)
         lows.append(run_one(n_low, sf_dir))
         print(json.dumps(lows[-1]), file=sys.stderr)
         print(f"rep {r+1}/{reps}: running local[{n_high}] ...", file=sys.stderr)
         highs.append(run_one(n_high, sf_dir))
         print(json.dumps(highs[-1]), file=sys.stderr)
+    ceilings.append(ceiling_pair())
+    print(f"ceiling after: {ceilings[-1]}", file=sys.stderr)
 
-    def median_leg(runs: list[dict]) -> dict:
-        return sorted(runs, key=lambda r: r["pairs_per_sec"])[len(runs) // 2]
-
-    low, high = median_leg(lows), median_leg(highs)
+    # Efficiency is a RATIO of two legs — only meaningful when both legs
+    # ran in the same host window. Compute it per rep (adjacent legs),
+    # then take the median rep; pairing medians of independently-drifting
+    # leg pools would mix windows.
     ratio = n_high / n_low
-    eff = (high["pairs_per_sec"] / low["pairs_per_sec"]) / ratio
+    per_rep_eff = [
+        round((h["pairs_per_sec"] / l["pairs_per_sec"]) / ratio, 3)
+        for l, h in zip(lows, highs)
+    ]
+    best_rep = max(range(reps), key=lambda r: per_rep_eff[r])
+    med_rep = sorted(range(reps), key=lambda r: per_rep_eff[r])[reps // 2]
+    low, high = lows[med_rep], highs[med_rep]
+    eff = per_rep_eff[med_rep]
+    med_ceiling = sorted(c["ceiling_eff"] for c in ceilings)[len(ceilings) // 2]
     result = {
         "workload": "er_pipeline_full (blocking + scoring + CC) on documents-as-files",
         "sf_dir": sf_dir,
@@ -129,8 +160,13 @@ def main() -> None:
         "reps": reps,
         "all_low_pairs_per_sec": [r["pairs_per_sec"] for r in lows],
         "all_high_pairs_per_sec": [r["pairs_per_sec"] for r in highs],
+        "per_rep_efficiency": per_rep_eff,
+        "best_rep_efficiency": per_rep_eff[best_rep],
         "speedup": round(high["pairs_per_sec"] / low["pairs_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
+        "host_ceiling_pairs": ceilings,
+        "host_ceiling_eff_median": med_ceiling,
+        "efficiency_vs_ceiling": round(eff / med_ceiling, 3) if med_ceiling else None,
         "target": 0.8,
         "pass": eff >= 0.8,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
