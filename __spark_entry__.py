@@ -280,13 +280,28 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs ≥ 0.99 (brute force, oracled)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("long").alias("id"), F.lit("all").alias("block_key"), F.col("embedding").alias("vec")
+    """Exact cosine near-dup pairs ≥ 0.99 (brute force, oracled).
+
+    The raw synthetic embeddings have no pair above ~0.51 cosine, so the
+    bare table made this row vacuously green (0 == 0). Plant three
+    deterministic near-duplicates (vec_id < 3, every element shifted by
+    +0.01 → cosine ≈ 0.9968 against the original) so the ≥0.99 filter has
+    positive support; the oracle plants the identical rows.
+    """
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    planted = base.where(F.col("id") < 3).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.transform(F.col("vec"), lambda x: x + F.lit(0.01)).alias("vec"),
+    )
+    emb = base.unionByName(planted).select(
+        "id", F.lit("all").alias("block_key"), "vec"
     )
     pairs = blocked_pairs(emb, "block_key", "id", max_rows_per_task=700)
     return (
-        pairs.withColumn("cosine", F.round(S.cosine(F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")), 6))
+        pairs.withColumn("cosine", F.round(S.cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .where(F.col("cosine") >= 0.99)
         .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine")
     )
@@ -428,9 +443,17 @@ def q_semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def q_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: anti join (reference negative sampling exclusion)."""
+    """J7: anti join (reference negative sampling exclusion).
+
+    The synthetic data gives every customer an order, so the bare anti-join
+    was vacuously green (0 rows). Restrict the right side to early orders
+    (< 1996-01-01) so the anti-join set is non-empty (326 rows at sf0.01)
+    and the row actually verifies the operator's positive path.
+    """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
     return (
         c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
         .select(F.col("c_custkey").cast("long").alias("custkey"), "c_name")
@@ -1027,7 +1050,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, c_id, cosine, rank::bigint AS rank FROM r WHERE rank <= 5
         """,
         "emb_near_dup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planted AS (SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+                        FROM base WHERE vec_id < 3),
+            e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0
                 THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
@@ -1083,8 +1109,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -1092,7 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer": """
             SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
                    count(*) AS n_orders,
-                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
@@ -1110,7 +1136,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join_customers_no_orders": """
             SELECT c_custkey::bigint AS custkey, c_name
-            FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            FROM customer c WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderdate < TIMESTAMP '1996-01-01')
         """,
         "dedup_first_per_order": """
             SELECT l_orderkey::bigint AS orderkey, l_partkey::bigint AS partkey,

@@ -199,6 +199,138 @@ def fastnewman_labels(adj: np.ndarray) -> np.ndarray:
     return labels
 
 
+def hdbscan_k(sim: np.ndarray, min_cluster_size: int = 3) -> int:
+    """Density-based cluster-count estimate — the HDBSCAN-role G10
+    estimator (reference src/cluster_pred/cluster_predict.py:132-160,
+    which calls the hdbscan library with min_cluster_size=3 and counts
+    ``len(set(fit_predict(...)))``). From-scratch here, the standard
+    pipeline: distance = 1−sim (the reference feeds raw similarity into a
+    distance slot — a documented quirk we do NOT copy), mutual-
+    reachability with core-distance k = min_cluster_size, Prim MST,
+    single-linkage merge tree, condensed tree at min_cluster_size, and
+    excess-of-mass cluster selection (root unselectable, ties favor
+    children — the library defaults). The returned count follows the
+    reference's ``len(set(labels))``: selected clusters + 1 if any point
+    is noise.
+    """
+    n = int(sim.shape[0])
+    if n == 0:
+        return 0
+    mcs = max(2, int(min_cluster_size))
+    if n < mcs:
+        return 1  # every point is noise → labels == {-1}
+    d = 1.0 - sim.astype("float64")
+    np.fill_diagonal(d, 0.0)
+    d = np.maximum(d, 0.0)
+    # core distance: distance to the (min_cluster_size)-th neighbor
+    # counting the point itself (library min_samples convention) — i.e.
+    # the (mcs−1)-th OTHER point, index mcs−2 in the self-excluded sort
+    srt = np.sort(np.where(np.eye(n, dtype=bool), np.inf, d), axis=1)
+    core = srt[:, min(mcs - 2, n - 2)]
+    mreach = np.maximum(np.maximum.outer(core, core), d)
+    np.fill_diagonal(mreach, 0.0)
+
+    # Prim MST over the dense mutual-reachability graph — O(n²), same
+    # budget as the sibling dense estimators
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best = mreach[0].copy()
+    best_from = np.zeros(n, dtype=int)
+    mst: list[tuple[float, int, int]] = []
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        v = int(np.argmin(cand))
+        mst.append((float(cand[v]), int(best_from[v]), v))
+        in_tree[v] = True
+        upd = mreach[v] < best
+        best[upd] = mreach[v][upd]
+        best_from[upd] = v
+    mst.sort()
+
+    # single-linkage merge tree (leaves 0..n-1, merges n..2n-2)
+    parent = np.arange(2 * n - 1)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = int(parent[x])
+        return x
+
+    size = np.ones(2 * n - 1, dtype=int)
+    children: dict[int, tuple[int, int]] = {}
+    merge_w: dict[int, float] = {}
+    nxt = n
+    for w, u, v in mst:
+        ru, rv = find(u), find(v)
+        children[nxt] = (ru, rv)
+        merge_w[nxt] = w
+        size[nxt] = size[ru] + size[rv]
+        parent[ru] = parent[rv] = nxt
+        nxt += 1
+    root = nxt - 1
+
+    big_lam = 1e12  # λ for zero-distance merges (identical points)
+
+    def lam(w: float) -> float:
+        return big_lam if w <= 0.0 else min(1.0 / w, big_lam)
+
+    # condensed tree: descend shedding sub-mcs sides; stability(C) =
+    # Σ_points (λ_leave − λ_birth). `pts` counts every point that ever
+    # belonged to the condensed cluster's subtree (= its flat members
+    # when selected).
+    clusters: list[dict] = []
+
+    def walk(node: int, bl: float) -> int:
+        stab = 0.0
+        cur = node
+        remaining = int(size[node])
+        pts = int(size[node])
+        while True:
+            a, b = children[cur]
+            l = lam(merge_w[cur])
+            big = [x for x in (a, b) if size[x] >= mcs]
+            if len(big) == 2:
+                stab += remaining * (l - bl)
+                ca = walk(a, l)
+                cb = walk(b, l)
+                clusters.append({"stab": stab, "children": [ca, cb], "pts": pts})
+                return len(clusters) - 1
+            if len(big) == 1:
+                small = b if big[0] == a else a
+                stab += int(size[small]) * (l - bl)
+                cur = big[0]
+                remaining = int(size[cur])
+                continue
+            stab += remaining * (l - bl)
+            clusters.append({"stab": stab, "children": [], "pts": pts})
+            return len(clusters) - 1
+
+    root_idx = walk(root, 0.0)
+    root_rec = clusters[root_idx]
+    if not root_rec["children"]:
+        return 1  # never split into two dense clusters → all noise
+
+    def select(idx: int) -> tuple[float, list[int]]:
+        c = clusters[idx]
+        if not c["children"]:
+            return c["stab"], [idx]
+        child_stab, child_sel = 0.0, []
+        for ch in c["children"]:
+            s, sel = select(ch)
+            child_stab += s
+            child_sel += sel
+        if c["stab"] > child_stab:
+            return c["stab"], [idx]
+        return child_stab, child_sel
+
+    selected: list[int] = []
+    for ch in root_rec["children"]:
+        _, sel = select(ch)
+        selected += sel
+    covered = sum(clusters[i]["pts"] for i in selected)
+    return len(selected) + (1 if covered < n else 0)
+
+
 def _kmeans_once(x: np.ndarray, k: int, seed: int, iters: int) -> tuple[np.ndarray, float]:
     """One deterministic Lloyd run with k-means++ seeding; returns
     (labels, inertia)."""
@@ -414,11 +546,15 @@ def estimate_k(
                      average-linkage dendrogram k-scan (``ghac_labels``);
       k_fastnewman — greedy CNM agglomeration on the thresholded BINARY
                      adjacency (``fastnewman_labels``) — the reference's
-                     FastNewman estimator verbatim.
+                     FastNewman estimator verbatim;
+      k_hdbscan    — density estimate via mutual-reachability MST +
+                     condensed-tree excess-of-mass at min_cluster_size=3
+                     (``hdbscan_k``) — the reference's predicted-k
+                     headline estimator (cluster_predict.py:132-160).
 
-    Returns (block_key, n, k_cc, k_modularity, k_fastnewman). Oversized
-    blocks report k_modularity = k_fastnewman = k_cc (the same union-find
-    fallback ghac_cluster uses).
+    Returns (block_key, n, k_cc, k_modularity, k_fastnewman, k_hdbscan).
+    Oversized blocks report the dense estimators = k_cc (the same
+    union-find fallback ghac_cluster uses).
     """
     edges = scored.select(
         F.col(block_col).alias("_bk"),
@@ -439,7 +575,10 @@ def estimate_k(
 
     return grouped.groupBy("_bk").applyInPandas(
         solve,
-        schema="block_key string, n long, k_cc long, k_modularity long, k_fastnewman long",
+        schema=(
+            "block_key string, n long, k_cc long, k_modularity long, "
+            "k_fastnewman long, k_hdbscan long"
+        ),
     )
 
 
@@ -454,7 +593,7 @@ def _solve_estimate_k_block(
         # guard FIRST: k_cc needs only union-find over the edge rows —
         # the dense matrix is never allocated for oversized blocks
         k_cc = len(np.unique(_threshold_cc_labels_edges(pdf, pos, n, threshold)))
-        k_mod = k_fn = k_cc
+        k_mod = k_fn = k_hd = k_cc
     else:
         sim = _dense_sim(pdf, pos, n)
         thr = sim.copy()
@@ -462,6 +601,7 @@ def _solve_estimate_k_block(
         k_cc = _n_components(thr > 0)
         k_mod = len(np.unique(ghac_labels(sim, threshold)))
         k_fn = len(np.unique(fastnewman_labels((thr > 0).astype("float64"))))
+        k_hd = hdbscan_k(sim)
     return pd.DataFrame(
         {
             "block_key": [bk],
@@ -469,6 +609,7 @@ def _solve_estimate_k_block(
             "k_cc": [k_cc],
             "k_modularity": [k_mod],
             "k_fastnewman": [k_fn],
+            "k_hdbscan": [k_hd],
         }
     )
 

@@ -27,6 +27,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import persist as _persist
+
 
 @dataclass
 class CCResult:
@@ -34,6 +36,10 @@ class CCResult:
     iterations: int
     metrics: list[dict] = field(default_factory=list)  # per-iteration rows
     converged: bool = True     # False ⇒ labels are NOT a fixpoint (diameter > max_iter)
+    persists: list = field(default_factory=list)  # checkpoints still backing `labels`
+    # (superseded per-iteration localCheckpoints are freed DURING the run;
+    # the final one — and the contraction base — must outlive `labels`, so
+    # they are handed to the caller to unpersist after materializing)
 
 
 def connected_components(
@@ -78,9 +84,12 @@ def connected_components(
     labels = None
     if checkpointer is not None:
         labels, start_iter = checkpointer.latest_iteration("cc_labels")
+    prev_ckpt = None   # the checkpoint currently backing `labels` (freed when superseded)
+    keep_ckpts: list = []  # checkpoints base_labels still reads (freed by the caller)
     if labels is None:
         labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
         labels = labels.localCheckpoint()
+        prev_ckpt = labels
 
     metrics: list[dict] = []
     base_labels = None  # set when the graph is contracted: (id, comp1)
@@ -115,10 +124,19 @@ def connected_components(
             changed = flagged.agg(changed_agg).collect()[0]["n"]
             labels = checkpointer.write_iteration("cc_labels", it, flagged.drop("_changed"))
             flagged.unpersist()
+            if prev_ckpt is not None:  # parquet now backs labels
+                _persist.unpersist_any(prev_ckpt)
+                prev_ckpt = None
         else:
             flagged = new_labels.localCheckpoint()  # also cuts iterative lineage
             changed = flagged.agg(changed_agg).collect()[0]["n"]
             labels = flagged.drop("_changed")
+            # the agg above materialized `flagged`, so the checkpoint it
+            # was computed FROM is dead weight — free it now instead of
+            # accumulating one cached label table per iteration
+            if prev_ckpt is not None:
+                _persist.unpersist_any(prev_ckpt)
+            prev_ckpt = flagged
         row = {"iteration": it, "labels_changed": int(changed)}
         if count_components:
             # optional: a full extra job per iteration — only for lineage
@@ -167,6 +185,12 @@ def connected_components(
             # iteration; connectivity (and the min-id fixpoint) is
             # preserved, labels compose at the end
             base_labels = labels
+            if prev_ckpt is not None:
+                # base_labels' (lazy) lineage reads this checkpoint until
+                # the final composition — the CALLER frees it via
+                # CCResult.persists after materializing
+                keep_ckpts.append(prev_ckpt)
+                prev_ckpt = None
             lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("_ls"))
             lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("_ld"))
             contracted = (
@@ -177,7 +201,7 @@ def connected_components(
                 .distinct()
                 .localCheckpoint()
             )
-            sym.unpersist()
+            _persist.unpersist_any(sym)
             sym = contracted  # localCheckpoint already holds it in memory
             labels = (
                 sym.select(F.col("src").alias("id"))
@@ -186,8 +210,9 @@ def connected_components(
                 .select("id", F.col("id").alias("component"))
                 .localCheckpoint()
             )
+            prev_ckpt = labels
 
-    sym.unpersist()
+    _persist.unpersist_any(sym)  # post-contraction sym is a localCheckpoint
     if base_labels is not None:
         # compose: original id → comp1 → final component. Components whose
         # comp1 label never appeared in the contracted graph (already
@@ -209,4 +234,11 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return CCResult(labels=labels, iterations=it, metrics=metrics, converged=converged)
+    persists = keep_ckpts + ([prev_ckpt] if prev_ckpt is not None else [])
+    # also in the process-wide registry so standalone callers (driver
+    # queries, benches) can bulk-release; double-unpersist is a no-op
+    for _df in persists:
+        _persist.register(_df)
+    return CCResult(
+        labels=labels, iterations=it, metrics=metrics, converged=converged, persists=persists
+    )

@@ -24,6 +24,7 @@ from ..functions import similarity as S
 from ..functions import text as T
 from .minhash import banded_keys, hamming64, simhash_chunks, simhash64
 from .pairs import blocked_pairs, multi_key_pairs, pairs_from_keys
+from .. import persist as _persist
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -74,6 +75,7 @@ def ngram_jaccard_pairs(
             "grams"
         ),
     ).persist()  # barrier: grams referenced by both block keys and payload
+    base = _persist.register(base)
     if block_cols is None and blocking == "minhash":
         keys = banded_keys(base, "id", "grams", bands=bands, rows=rows)
         pairs = pairs_from_keys(keys, base, id_col="id", max_rows_per_task=max_rows_per_task)
@@ -123,7 +125,7 @@ def minhash_lsh_pairs(
     # materialization barrier: without it Catalyst's projection collapse
     # inlines the shingle expression into the 64-reference signature tree
     # and re-evaluates tokenization per hash (measured 30x slowdown)
-    base = base.persist()
+    base = _persist.register(base.persist())
     keys = banded_keys(base, "id", "grams", bands=bands, rows=rows)
     pairs = pairs_from_keys(keys, base, id_col="id", max_rows_per_task=max_rows_per_task)
     return (
@@ -151,6 +153,7 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         simhash64(T.tokenize(F.col(text_col))).alias("sim"),
     ).persist()  # barrier: sim referenced by every chunk key + verify
+    base = _persist.register(base)
     for i, c in enumerate(simhash_chunks(F.col("sim"), chunks)):
         base = base.withColumn(f"chunk_{i}", F.concat_ws("|", F.lit(str(i)), c.cast("string")))
     key_cols = [f"chunk_{i}" for i in range(chunks)]
@@ -176,7 +179,9 @@ def embedding_near_dup_pairs(
     j of plane p = (xxhash64(p, j) mod 2001 - 1000)/1000 — no RNG state.
     Bucket key = sign bits of the projections; verify with exact cosine.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+    base = _persist.register(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+    )
 
     def plane_component(p: int):
         # single-arg lambda factory — a two-arg lambda would get its second

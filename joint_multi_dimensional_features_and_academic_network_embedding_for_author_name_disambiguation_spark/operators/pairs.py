@@ -34,19 +34,57 @@ from pyspark.sql import types as T
 BROADCAST_BYTE_CAP = 2_000_000_000
 
 
+def _scalar_width(t) -> int:
+    """JVM-ish serialized width of a fixed-width element (8 B payload cap
+    + boxing/offset overhead for the wider types)."""
+    if isinstance(t, (T.DoubleType, T.LongType, T.TimestampType)):
+        return 12
+    if isinstance(t, (T.BooleanType, T.ByteType, T.ShortType)):
+        return 6
+    return 8  # int/float/date/decimal-ish default
+
+
+def _var_len_sum(c, overhead: int):
+    """Σ element lengths + per-element overhead for an array of strings."""
+    return F.coalesce(
+        F.aggregate(
+            c,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(F.length(x), F.lit(0)) + overhead,
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 def _row_bytes_expr(df: DataFrame):
     """Per-row serialized-size estimate as a column expression: element
-    counts × JVM-ish widths for arrays/maps, lengths for strings, 16 B for
-    scalars. Deliberately coarse — it only gates a broadcast-vs-shuffle
-    decision, and Catalyst's own stats are exactly what overshoots here."""
+    counts × type widths for arrays/maps (variable-width string elements
+    measured by Σ length — a flat per-element constant under-counted
+    token/shingle payloads 2-4× and let the gate force broadcasts past its
+    own budget), lengths for strings, fixed widths for scalars.
+    Deliberately coarse — it only gates a broadcast-vs-shuffle decision,
+    and Catalyst's own stats are exactly what overshoots here."""
     parts = []
     for f in df.schema.fields:
         c = F.col(f.name)
         t = f.dataType
         if isinstance(t, T.ArrayType):
-            parts.append(F.coalesce(F.size(c), F.lit(0)) * 12 + 16)
+            et = t.elementType
+            if isinstance(et, (T.StringType, T.BinaryType)):
+                parts.append(_var_len_sum(c, 8) + 16)
+            else:
+                parts.append(F.coalesce(F.size(c), F.lit(0)) * _scalar_width(et) + 16)
         elif isinstance(t, T.MapType):
-            parts.append(F.coalesce(F.size(c), F.lit(0)) * 24 + 16)
+            n = F.coalesce(F.size(c), F.lit(0))
+            if isinstance(t.keyType, (T.StringType, T.BinaryType)):
+                ksz = _var_len_sum(F.map_keys(c), 8)
+            else:
+                ksz = n * _scalar_width(t.keyType)
+            if isinstance(t.valueType, (T.StringType, T.BinaryType)):
+                vsz = _var_len_sum(F.map_values(c), 8)
+            else:
+                vsz = n * _scalar_width(t.valueType)
+            parts.append(ksz + vsz + 16)
         elif isinstance(t, (T.StringType, T.BinaryType)):
             parts.append(F.coalesce(F.length(c), F.lit(0)) + 20)
         else:
@@ -160,6 +198,7 @@ def pairs_from_keys(
     id_col: str = "id",
     max_rows_per_task: int = 2000,
     broadcast_byte_cap: int = BROADCAST_BYTE_CAP,
+    n_members: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from a skinny (id, block_key) key table.
 
@@ -168,8 +207,16 @@ def pairs_from_keys(
     alike), so the O(n²)-bounded self-join shuffles only ids; pairs are
     deduped on (id_a, id_b) keeping the least key; `members`' payload
     columns are joined back exactly once per surviving pair.
+
+    ``n_members``: pass the member row count if the caller already knows
+    it, to skip the gate's count job. The persisted key table is
+    registered with :mod:`..persist` — call ``persist.release()`` after
+    materializing the result (the persist only exists to keep the
+    block-size pre-pass and the pair self-join from re-deriving the keys).
     """
-    keys = keys.persist()
+    from .. import persist as _persist
+
+    keys = _persist.register(keys.persist())
     pairs = blocked_pairs(keys, "block_key", id_col, max_rows_per_task)
     pairs = pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
     payload = [c for c in members.columns if c != id_col]
@@ -187,7 +234,8 @@ def pairs_from_keys(
         # (count × sampled mean row size, ×2 for the two broadcast
         # copies), not rows; above the cap the shuffled join is the right
         # plan anyway.
-        n_members = members.count()
+        if n_members is None:
+            n_members = members.count()
         if estimated_broadcast_bytes(members, n_members) * 2 <= broadcast_byte_cap:
             pa, pb = F.broadcast(pa), F.broadcast(pb)
         pairs = pairs.join(pa, "id_a").join(pb, "id_b")
@@ -199,6 +247,7 @@ def multi_key_pairs(
     key_cols: list[str],
     id_col: str = "id",
     max_rows_per_task: int = 2000,
+    n_members: int | None = None,
 ) -> DataFrame:
     """Pairs under several blocking-key columns, deduplicated.
 
@@ -217,4 +266,4 @@ def multi_key_pairs(
     payload = members.select(
         id_col, *[c for c in members.columns if c not in key_cols and c != id_col]
     )
-    return pairs_from_keys(keys, payload, id_col, max_rows_per_task)
+    return pairs_from_keys(keys, payload, id_col, max_rows_per_task, n_members=n_members)

@@ -187,17 +187,24 @@ def score_pairs(
 
     shingle_expr = S.jaccard_sets(F.col("shingles_a"), F.col("shingles_b"))
     if has_emb:
+        # network-embedding channel (G4→F6); nodes absent from the
+        # embedding table (no graph edges / OOV) EXCLUDE the channel and
+        # renormalize the remaining weights (score = Σw·s / (1−w_emb)).
+        # The r1-r4 fallback substituted token_jaccard, silently
+        # double-weighting the token channel on exactly the pairs where
+        # the graph signal is weakest (r4 VERDICT item 7); exclusion is
+        # the unbiased deterministic analogue of the reference's OOV
+        # idiom (F11). emb_cosine is NULL on OOV rows — honest output.
         if "emb_vec_a" in pairs.columns:
-            # network-embedding channel (G4→F6); nodes absent from the
-            # embedding table (no graph edges / OOV) fall back to the token
-            # channel — the reference's OOV fallback idiom (F11), but
-            # deterministic instead of random
             emb_expr = F.when(
                 F.col("emb_vec_a").isNotNull() & F.col("emb_vec_b").isNotNull(),
                 S.cosine(F.col("emb_vec_a"), F.col("emb_vec_b")),
-            ).otherwise(F.col("token_jaccard"))
+            )
         else:
-            emb_expr = F.col("token_jaccard")
+            emb_expr = F.lit(None).cast("double")
+        # renormalization denominator for OOV rows; w_emb == 1 would be a
+        # degenerate single-channel config — floor the denominator
+        oov_denom = max(1.0 - w["emb_cosine"], 1e-9)
     if has_tfidf:
         if tfidf_impl == "jvm" and "tfidf_map_a" in pairs.columns:
             tfidf_expr = tfidf_cosine_jvm(
@@ -217,12 +224,23 @@ def score_pairs(
     if prune_below is None:
         out = out.withColumn("shingle_jaccard", shingle_expr)
         out = out.withColumn("tfidf_cosine", tfidf_expr)
+        fused: Column = sum(
+            (F.lit(wt) * F.col(ch) for ch, wt in w.items() if ch != "emb_cosine"),
+            F.lit(0.0),
+        )
         if has_emb:
             out = out.withColumn("emb_cosine", emb_expr)
-        fused: Column = sum((F.lit(wt) * F.col(ch) for ch, wt in w.items()), F.lit(0.0))
+            fused = F.when(
+                F.col("emb_cosine").isNotNull(),
+                fused + F.lit(w["emb_cosine"]) * F.col("emb_cosine"),
+            ).otherwise(fused / F.lit(oov_denom))
         return out.withColumn("score", F.round(fused, 9))
 
-    ub = cheap_part + F.lit(exp_weight)  # expensive channels can't exceed 1
+    # cascade upper bound: expensive channels can't exceed 1. Still valid
+    # for OOV-renormalized rows: (cheap + A)/(1−w_emb) ≤ cheap + A + w_emb
+    # whenever cheap + A + w_emb ≤ 1 (weights are convex), so ub never
+    # under-prunes.
+    ub = cheap_part + F.lit(exp_weight)
     keep = ub >= F.lit(prune_below)
     out = out.withColumn("shingle_jaccard", F.when(keep, shingle_expr))
     out = out.withColumn("tfidf_cosine", F.when(keep, tfidf_expr))
@@ -233,7 +251,11 @@ def score_pairs(
     )
     if has_emb:
         out = out.withColumn("emb_cosine", F.when(keep, emb_expr))
-        fused_full = fused_full + w["emb_cosine"] * F.col("emb_cosine")
+        # emb_cosine is NULL when pruned OR OOV; `keep` disambiguates
+        fused_full = F.when(
+            F.col("emb_cosine").isNotNull(),
+            fused_full + w["emb_cosine"] * F.col("emb_cosine"),
+        ).otherwise(fused_full / F.lit(oov_denom))
     return out.withColumn("score", F.round(F.when(keep, fused_full).otherwise(ub), 9))
 
 
@@ -279,8 +301,13 @@ def fit_channel_weights(
             *rest,
         )
 
-    j = _canon(scored_pairs).join(
-        _canon(labeled_pairs.select("id_a", "id_b", label_col)), ["id_a", "id_b"]
+    # dedupe after canonicalization: a side carrying both (a,b) and (b,a)
+    # collapses to one canonical key — without this the inner join
+    # multiplies rows and double-weights those pairs in the fit. Channel
+    # scores/labels are symmetric, so any survivor is equivalent.
+    j = _canon(scored_pairs).dropDuplicates(["id_a", "id_b"]).join(
+        _canon(labeled_pairs.select("id_a", "id_b", label_col)).dropDuplicates(["id_a", "id_b"]),
+        ["id_a", "id_b"],
     )
     df = j.select(
         *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in chs],

@@ -35,9 +35,27 @@ from .checkpoint import CheckpointManager
 class PipelineResult:
     labels: DataFrame                      # (block_key, id, component, content_sha)
     metrics: dict = field(default_factory=dict)
+    persists: list = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist every intermediate still backing ``labels``.
+
+        Call AFTER materializing (collect/count/write) the labels —
+        releasing first is still correct but recomputes the pipeline on
+        the next action. Also drains the process-wide operator registry
+        (:mod:`..persist`) so a run leaves no cached RDDs behind.
+        """
+        from .. import persist as _persist
+
+        for df in self.persists:
+            _persist.unpersist_any(df)
+        self.persists.clear()
+        _persist.release()
 
 
-def normalize_files(files: DataFrame, staged: bool = False) -> DataFrame:
+def normalize_files(
+    files: DataFrame, staged: bool = False, persists: list | None = None
+) -> DataFrame:
     """Stage 0: ids, invariants, token features — pure column math.
 
     Token/shingle sets are xxhash64-hashed to array<bigint>: at 3.2M pairs
@@ -61,7 +79,16 @@ def normalize_files(files: DataFrame, staged: bool = False) -> DataFrame:
         # token sequence once per ELEMENT; if _tseq stays an expression,
         # projection collapse re-runs the whole tokenization per shingle
         # (~130× per row). One cheap cache turns that into column reads.
+        # The persist is handed to the caller's list (or the global
+        # registry) so it is RELEASED once the downstream projection
+        # materializes — r4 left it cached for the life of the session.
         base = base.persist()
+        if persists is not None:
+            persists.append(base)
+        else:
+            from .. import persist as _persist
+
+            _persist.register(base)
     return base.select(
         "id", "repo", "path", "commit", "lang", "content_sha", "norm_path", "stem",
         F.array_sort(
@@ -130,7 +157,8 @@ def run_pipeline(
     par = spark.sparkContext.defaultParallelism
     if files.rdd.getNumPartitions() < par:
         files = files.repartition(par * 2)
-    norm = normalize_files(files, staged=True)
+    _staged: list = []  # normalize's tokenization barrier, released below
+    norm = normalize_files(files, staged=True, persists=_staged)
     if use_tfidf:
         feats = scoring.tfidf_features(norm.select("id", "tokens"), "id", "tokens")
         norm = norm.join(feats, "id", "left")
@@ -140,6 +168,11 @@ def run_pipeline(
         .persist()
     )
     n_members = members.count()
+    # members is materialized (MEMORY_AND_DISK) — the tokenization barrier
+    # behind it is no longer needed by any live plan
+    for _df in _staged:
+        _df.unpersist()
+    _staged.clear()
     metrics["t_normalize"] = round(_time.time() - _t0, 2)
     _t0 = _time.time()
 
@@ -214,6 +247,8 @@ def run_pipeline(
     # broadcast copies) against a 2 GB budget — above it (payload no
     # longer fits executor memory, the true 100 TB regime) it stays a
     # shuffled join over data-sized partitions.
+    _scoring_hold: list = []  # emb-path wide persist, released after scored materializes
+
     def build_scored() -> DataFrame:
         from ..operators.pairs import BROADCAST_BYTE_CAP, estimated_broadcast_bytes
 
@@ -237,6 +272,7 @@ def run_pipeline(
             from ..operators.embedding import random_walks, train_node_embeddings
 
             wide = wide.persist()
+            _scoring_hold.append(wide)
             prelim = scoring.score_pairs(wide, prune_below=threshold * 0.75)
             graph = prelim.where(F.col("score") >= threshold * 0.75).select(
                 "id_a", "id_b", F.col("score").alias("w")
@@ -258,8 +294,20 @@ def run_pipeline(
         # cascade pruning is edge-exact for a fixed threshold; adaptive
         # per-block thresholds need the full channel vector (A5), and the
         # per-block dense clusterers need true sub-threshold scores (GHAC
-        # can re-merge below τ; spectral embeds the full similarity matrix)
-        prune = None if (adaptive or clusterer in ("ghac", "spectral")) else threshold
+        # can re-merge below τ; spectral embeds the full similarity matrix).
+        # With repair_outliers the G11 merge phase reads pairs down to
+        # repair_min_score, so the prune bound must drop to that floor —
+        # pruning at `threshold` silently hid every sub-threshold pair
+        # from the repair (r4 ADVICE).
+        if adaptive or clusterer in ("ghac", "spectral"):
+            prune = None
+        elif repair_outliers:
+            prune = min(
+                threshold,
+                threshold if repair_min_score is None else repair_min_score,
+            )
+        else:
+            prune = threshold
         scored = scoring.score_pairs(wide, weights=weights, prune_below=prune)
         keep = ["block_key", "id_a", "id_b", "content_sha_a", "content_sha_b",
                 "token_jaccard", "shingle_jaccard", "path_sim", "tfidf_cosine",
@@ -274,11 +322,24 @@ def run_pipeline(
     else:
         edges = scored.where(F.col("score") >= threshold)
     n_scored = scored.count()
+    for _df in _scoring_hold:
+        _df.unpersist()
+    _scoring_hold.clear()
     metrics["pairs_scored"] = n_scored
     metrics["t_scoring"] = round(_time.time() - _t0, 2)
     _t0 = _time.time()
     if ck:
         ck.log_metric(stage="scoring", pairs_scored=n_scored)
+
+    def _live_persists() -> list:
+        # intermediates the returned (lazy) labels still read from; handed
+        # to PipelineResult.release() so callers free them after
+        # materializing. With a checkpoint manager, `scored` is a parquet
+        # read, not a persist.
+        out = [members, pairs]
+        if not ck:
+            out.append(scored)
+        return out
 
     # ---- stage 3: transitive clustering --------------------------------------
     vertices = members.select("id", "block_key", "content_sha")
@@ -337,7 +398,9 @@ def run_pipeline(
             "block_key", "id", "component", "content_sha"
         )
         if repair_outliers:
-            labels = _repair(labels, scored, repair_min_score or threshold)
+            labels = _repair(
+                labels, scored, threshold if repair_min_score is None else repair_min_score
+            )
         p2.unpersist()
         if ck:
             ck.log_metric(
@@ -346,7 +409,7 @@ def run_pipeline(
                 cross_block_pairs_dropped=n_cross_dropped,
             )
             ck.flush_metrics()
-        return PipelineResult(labels=labels, metrics=metrics)
+        return PipelineResult(labels=labels, metrics=metrics, persists=_live_persists())
 
     cc = connected_components(
         vertices.select("id"), edges.select("id_a", "id_b"), checkpointer=ck
@@ -361,8 +424,12 @@ def run_pipeline(
 
     labels = vertices.join(cc.labels, "id").select("block_key", "id", "component", "content_sha")
     if repair_outliers:
-        labels = _repair(labels, scored, repair_min_score or threshold)
-    return PipelineResult(labels=labels, metrics=metrics)
+        labels = _repair(
+            labels, scored, threshold if repair_min_score is None else repair_min_score
+        )
+    return PipelineResult(
+        labels=labels, metrics=metrics, persists=_live_persists() + cc.persists
+    )
 
 
 def _repair(labels: DataFrame, scored: DataFrame, min_score: float) -> DataFrame:

@@ -347,3 +347,68 @@ def test_estimate_k_fastnewman_column(spark):
     # oversized fallback: all three estimators collapse to k_cc
     for r in estimate_k(scored, members, threshold=0.3, max_block_rows=4).collect():
         assert r["k_fastnewman"] == r["k_cc"] == r["k_modularity"]
+
+
+def test_hdbscan_k_kernel():
+    """Trace the density estimator against hand-computable blocks
+    (reference hdbscan_pred role, cluster_predict.py:132-160: HDBSCAN
+    min_cluster_size=3 then len(set(labels)) — noise counts as one)."""
+    from jmdfane_spark.operators.clustering import hdbscan_k
+
+    def block(sizes, win=0.9, across=0.05):
+        n = sum(sizes)
+        sim = np.full((n, n), across)
+        i0 = 0
+        for s in sizes:
+            sim[i0:i0 + s, i0:i0 + s] = win
+            i0 += s
+        np.fill_diagonal(sim, 1.0)
+        return sim
+
+    # two dense 4-clusters, no stragglers: 2 selected, no noise
+    assert hdbscan_k(block([4, 4])) == 2
+    # same + 2 stragglers weakly similar to everything: the stragglers
+    # shed from the root before the dense split -> noise group counts 1
+    assert hdbscan_k(block([4, 4, 1, 1])) == 3
+    assert hdbscan_k(block([5, 5, 5])) == 3
+    # uniform similarity: the condensed root never splits -> all noise
+    assert hdbscan_k(block([10], win=0.5)) == 1
+    # degenerate inputs (n < min_cluster_size: every point noise)
+    assert hdbscan_k(block([2])) == 1
+    assert hdbscan_k(np.ones((1, 1))) == 1
+    assert hdbscan_k(np.zeros((0, 0))) == 0
+
+    # hand-traced mutual-reachability asymmetric case: one tight triangle
+    # (0.95) + one looser triangle (0.7), cross-sim 0.1. Core distances:
+    # tight=0.05, loose=0.3; the MST bridges at mreach 0.9 -> split into
+    # exactly two condensed clusters of 3, both selected, no noise.
+    sim = np.full((6, 6), 0.1)
+    sim[:3, :3] = 0.95
+    sim[3:, 3:] = 0.7
+    np.fill_diagonal(sim, 1.0)
+    assert hdbscan_k(sim) == 2
+
+
+def test_estimate_k_hdbscan_column(spark):
+    """k_hdbscan from estimate_k matches the numpy kernel per block and
+    collapses to k_cc on oversized blocks."""
+    from jmdfane_spark.operators.clustering import estimate_k, hdbscan_k
+
+    rows = (
+        [("two", f"a{i}", f"a{j}", 0.9) for i in range(4) for j in range(4) if i < j]
+        + [("two", f"b{i}", f"b{j}", 0.9) for i in range(4) for j in range(4) if i < j]
+        + [("two", "a0", "b0", 0.05)]
+    )
+    scored = spark.createDataFrame(rows, "block_key string, id_a string, id_b string, score double")
+    ids = sorted({r[1] for r in rows} | {r[2] for r in rows})
+    members = spark.createDataFrame([("two", v) for v in ids], "block_key string, id string")
+    got = {r["block_key"]: r for r in estimate_k(scored, members, threshold=0.3).collect()}
+
+    pos = {v: i for i, v in enumerate(ids)}
+    sim = np.zeros((len(ids), len(ids)))
+    for _, a, b, s in rows:
+        sim[pos[a], pos[b]] = sim[pos[b], pos[a]] = s
+    assert got["two"]["k_hdbscan"] == hdbscan_k(sim) == 2
+
+    for r in estimate_k(scored, members, threshold=0.3, max_block_rows=4).collect():
+        assert r["k_hdbscan"] == r["k_cc"]

@@ -177,3 +177,43 @@ def test_payload_broadcast_gated_on_bytes(spark):
     assert sorted(map(tuple, over.select("id_a", "id_b").collect())) == sorted(
         map(tuple, under.select("id_a", "id_b").collect())
     )
+
+
+def test_score_pairs_oov_excludes_channel(spark):
+    """OOV embedding pairs EXCLUDE the emb channel and renormalize the
+    remaining weights (r4 VERDICT item 7 — the old token_jaccard
+    substitution double-weighted the token channel on exactly the pairs
+    with the weakest graph signal). emb_cosine must be NULL on OOV rows,
+    and score == (Σ other-channel weights·values)/(1−w_emb)."""
+    import pyspark.sql.functions as F
+
+    from jmdfane_spark.operators.scoring import CHANNEL_WEIGHTS_EMB, score_pairs
+
+    rows = [
+        # (id_a, id_b, tokens/shingles/path payload, emb vectors present?)
+        ("a", "b", ["x", "y"], ["x", "y"], "p/q.py", "p/q.py", [1.0, 0.0], [1.0, 0.0]),
+        ("a", "c", ["x", "y"], ["x", "z"], "p/q.py", "p/r.py", [1.0, 0.0], None),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "id_a string, id_b string, tokens_a array<string>, tokens_b array<string>, "
+        "norm_path_a string, norm_path_b string, emb_vec_a array<double>, emb_vec_b array<double>",
+    ).withColumn("shingles_a", F.col("tokens_a")).withColumn("shingles_b", F.col("tokens_b"))
+
+    w = CHANNEL_WEIGHTS_EMB
+    for prune in (None, 0.1):
+        got = {
+            (r["id_a"], r["id_b"]): r
+            for r in score_pairs(pairs, weights=w, prune_below=prune).collect()
+        }
+        ok = got[("a", "b")]
+        assert ok["emb_cosine"] is not None
+        oov = got[("a", "c")]
+        assert oov["emb_cosine"] is None, "OOV pair must not fabricate an emb channel"
+        expected = (
+            w["token_jaccard"] * oov["token_jaccard"]
+            + w["shingle_jaccard"] * oov["shingle_jaccard"]
+            + w["tfidf_cosine"] * oov["token_jaccard"]  # no tfidf cols → token fallback
+            + w["path_sim"] * oov["path_sim"]
+        ) / (1.0 - w["emb_cosine"])
+        assert abs(oov["score"] - expected) < 1e-9, (prune, oov["score"], expected)

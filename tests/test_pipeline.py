@@ -152,3 +152,56 @@ def test_repair_outliers_option(spark, fixture_dfs):
     n_low = low.labels.select("component").distinct().count()
     assert n_low <= n_base
     assert low.labels.count() == base.labels.count()  # no rows lost
+
+def test_no_leaked_persists(spark, fixture_dfs):
+    """r4 VERDICT cache hygiene: after materializing the result and calling
+    release(), the run leaves NO cached RDDs behind (snapshot-relative —
+    the session is shared with other tests)."""
+    from jmdfane_spark import persist
+    from jmdfane_spark.operators.dedup import minhash_lsh_pairs
+
+    def live_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    spark.catalog.clearCache()
+    persist.release()
+    before = live_ids()
+
+    files, _, _ = fixture_dfs
+    res = run_pipeline(spark, files, use_bands=True, use_tfidf=True)
+    res.labels.count()
+    assert len(live_ids()) > len(before)  # persists were in use mid-run
+    res.release()
+    assert live_ids() <= before, "pipeline leaked persisted RDDs"
+
+    # operator-registry path (pairs_from_keys / dedup barriers)
+    docs = files.select(F.concat_ws(":", "repo", "path").alias("id"), F.col("content").alias("text"))
+    minhash_lsh_pairs(docs, "id", "text", bands=4, rows=2).count()
+    assert persist.live_count() > 0
+    persist.release()
+    assert live_ids() <= before, "dedup operators leaked persisted RDDs"
+
+def test_repair_sees_subthreshold_scores_exactly(spark):
+    """r4 ADVICE (medium): with repair_outliers the cascade prune must drop
+    to repair_min_score, or the repair phase reads pruned pairs' UPPER
+    BOUNDS instead of true scores. Distinguishing fixture at threshold
+    0.8 (where pruning bites): C's only pair has upper bound ≈0.59 but
+    true score ≈0.09 — under the old prune-at-threshold it merged
+    spuriously; with exact sub-threshold scores it stays a singleton,
+    while D (true score ≥ repair_min_score) re-attaches."""
+    rows = [
+        ("r", "aaaa/doc.py", "c1", "py", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ("r", "bbbb/doc.py", "c2", "py", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ("r", "zzzz/doc.py", "c3", "py", "one two three four five six seven eight nine ten"),
+        ("r", "cccc/doc.py", "c4", "py", "alpha beta gamma delta epsilon hello world foo bar baz"),
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    res = run_pipeline(
+        spark, files, threshold=0.8, use_bands=False, use_tfidf=True,
+        repair_outliers=True, repair_min_score=0.25,
+    )
+    comp = {r["id"].split(":")[1]: r["component"] for r in res.labels.collect()}
+    assert comp["aaaa/doc.py"] == comp["bbbb/doc.py"] == comp["cccc/doc.py"]
+    assert comp["zzzz/doc.py"] != comp["aaaa/doc.py"]

@@ -52,6 +52,16 @@ def rowset(cols, rows, keep_order=False):
     return lines if keep_order else sorted(lines)
 
 
+def _norm_arrow(t) -> str:
+    """Canonical arrow-type string; folds widths that hash identically."""
+    s = str(t)
+    if s.startswith("timestamp["):
+        # driver-green events_windowed_agg proves tz-aware-vs-naive doesn't
+        # affect the driver hash; fold to the bare unit
+        s = s.split(", tz=")[0].rstrip("]") + "]"
+    return {"large_string": "string", "large_binary": "binary"}.get(s, s)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,9 +71,27 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # The pinned VALUES oracles are regression tables generated at ONE
+    # fixture scale — comparing them at any other sf_dir is a guaranteed
+    # false mismatch. Downgrade them to rows-only when scales differ.
+    pinned_names: set[str] = set()
+    try:
+        from tools.pinned_oracles import PINNED_SF_DIR, PINNED_SQL
+
+        if Path(sf_dir).resolve() != Path(PINNED_SF_DIR).resolve():
+            pinned_names = set(PINNED_SQL)
+    except ImportError:
+        pass
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in pinned_names:
+            try:
+                n = fn(spark, sf_dir).count()
+                results[name] = f"rows-only ({n} rows; pinned oracle is sf-specific, skipped)"
+            except Exception as e:  # noqa: BLE001
+                results[name] = f"SPARK ERROR: {type(e).__name__}: {str(e)[:200]}"
             continue
         t0 = time.time()
         try:
@@ -95,10 +123,32 @@ def main():
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             results[name] = f"VALUE MISMATCH ({len([1 for x, y in zip(a, b) if x != y])}/{len(a)} rows) e.g. {diffs[:2]}"
             continue
+        # Arrow-type lane: the driver's value hash is TYPE-TAGGED, so a
+        # DuckDB result that widens (e.g. sum(BIGINT) -> HUGEINT ->
+        # decimal128(38,0)) hash-fails against Spark's int64 even with
+        # equal values — exactly how tpch_pricing_summary/
+        # join_orders_customer stayed red r1-r4 while this checker said OK.
+        # Compare the arrow schema both engines would emit (binding only on
+        # the DuckDB side via LIMIT 0 — no re-execution).
+        tdiff = ""
+        try:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            stypes = {f.name: _norm_arrow(to_arrow_type(f.dataType)) for f in sdf.schema.fields}
+            dschema = con.sql(oracles[name]).limit(0).arrow().schema
+            dtypes = {f.name: _norm_arrow(f.type) for f in dschema}
+            bad = {c: (stypes[c], dtypes[c]) for c in stypes if c in dtypes and stypes[c] != dtypes[c]}
+            if bad:
+                tdiff = f" TYPE DIFF {bad}"
+        except Exception as e:  # noqa: BLE001
+            tdiff = f" (type lane unavailable: {type(e).__name__})"
         ao = rowset(scols, [[r[c] for c in scols] for r in srows], keep_order=True)
         bo = rowset(dcols, drows, keep_order=True)
         if ao == bo:
-            results[name] = f"OK ({len(srows)} rows, {time.time()-t0:.1f}s)"
+            if tdiff.startswith(" TYPE DIFF"):
+                results[name] = f"ARROW-TYPE MISMATCH (values equal; driver hash will fail):{tdiff}"
+            else:
+                results[name] = f"OK ({len(srows)} rows, {time.time()-t0:.1f}s){tdiff}"
         else:
             k = next(i for i, (x, y) in enumerate(zip(ao, bo)) if x != y)
             results[name] = (
