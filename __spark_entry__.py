@@ -795,13 +795,15 @@ def q_eval_triplet_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cluster_k_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G10: three per-block k estimators side by side — thresholded-CC
+    """G10: all five per-block k estimators side by side — thresholded-CC
     count (live recursive-CTE oracle), modularity-argmax k from the GHAC
-    dendrogram scan, and greedy-CNM FastNewman k (the reference estimator,
-    src/cluster_pred/cluster_predict.py:41-129). The two modularity
-    argmaxes are not SQL-expressible — their columns are pinned regression
-    values (tools/gen_pinned_oracles.py); exactness covered by
-    tests/test_clustering.py (planted-k fixtures + CNM trace oracle)."""
+    dendrogram scan, greedy-CNM FastNewman k (reference
+    src/cluster_pred/cluster_predict.py:41-129), HDBSCAN-role density k
+    (mutual-reachability MST + condensed-tree EOM, reference :132-160),
+    and Girvan–Newman betweenness-removal k (reference :174-255). The
+    non-CC estimators are not SQL-expressible — their columns are pinned
+    regression values (tools/gen_pinned_oracles.py); exactness covered by
+    tests/test_clustering.py (planted-k fixtures + trace oracles)."""
     from jmdfane_spark.operators.clustering import estimate_k
 
     docs = _t(spark, sf_dir, "documents").select(

@@ -199,6 +199,105 @@ def fastnewman_labels(adj: np.ndarray) -> np.ndarray:
     return labels
 
 
+def _edge_betweenness(adj_list: list[list[int]], n: int) -> dict[tuple[int, int], float]:
+    """Unweighted edge betweenness via Brandes' accumulation (one BFS per
+    source, O(V·E)). Unnormalized — normalization scales every edge by the
+    same constant, so the argmax the GN loop needs is identical."""
+    eb: dict[tuple[int, int], float] = {}
+    for s in range(n):
+        dist = [-1] * n
+        dist[s] = 0
+        sigma = [0.0] * n
+        sigma[s] = 1.0
+        preds: list[list[int]] = [[] for _ in range(n)]
+        order: list[int] = []
+        queue = [s]
+        qi = 0
+        while qi < len(queue):
+            v = queue[qi]
+            qi += 1
+            order.append(v)
+            for w in adj_list[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = [0.0] * n
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                key = (v, w) if v < w else (w, v)
+                eb[key] = eb.get(key, 0.0) + c
+                delta[v] += c
+    for k in eb:  # undirected: every edge accumulated from both endpoints
+        eb[k] /= 2.0
+    return eb
+
+
+def gn_labels(adj: np.ndarray) -> np.ndarray:
+    """Girvan–Newman community labels — the reference's GN k-estimator
+    (src/cluster_pred/cluster_predict.py:174-255): repeatedly remove the
+    max-betweenness edge; each time the component count changes, score the
+    partition with modularity on the ORIGINAL graph; return the partition
+    at the strict-max Q (initial partition = one community, Q = 0.0, so a
+    graph with no positive-Q split stays one community — reference
+    semantics). Ties in betweenness break to the lexicographically
+    smallest edge (deterministic; the reference inherits dict order).
+
+    ``adj``: symmetric adjacency; any nonzero entry is an edge (the
+    reference feeds a binary graph).
+    """
+    n = adj.shape[0]
+    if n <= 1:
+        return np.zeros(n, dtype=int)
+    mask = adj != 0
+    np.fill_diagonal(mask, False)
+    edges = {(i, j) for i, j in zip(*np.nonzero(np.triu(mask, 1)))}
+    m = len(edges)
+    if m == 0:
+        return np.arange(n)
+    deg = mask.sum(axis=0).astype("float64")
+
+    def components(es: set) -> np.ndarray:
+        parent = np.arange(n)
+        for a, b in es:
+            ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+            if ra != rb:
+                parent[ra] = rb
+        return np.array([_uf_find(parent, i) for i in range(n)])
+
+    def modularity_q(labels: np.ndarray) -> float:
+        q = 0.0
+        for lbl in np.unique(labels):
+            memb = labels == lbl
+            intra = mask[np.ix_(memb, memb)].sum()  # ordered pairs = 2×edges
+            q += intra / (2.0 * m) - (deg[memb].sum() / (2.0 * m)) ** 2
+        return float(q)
+
+    best_q = 0.0
+    best_labels = np.zeros(n, dtype=int)
+    cur = set(edges)
+    n_comp = 1
+    while cur:
+        adj_list: list[list[int]] = [[] for _ in range(n)]
+        for a, b in cur:
+            adj_list[a].append(b)
+            adj_list[b].append(a)
+        eb = _edge_betweenness(adj_list, n)
+        drop = min(eb, key=lambda e: (-eb[e], e))
+        cur.discard(drop)
+        labels = components(cur)
+        k = len(np.unique(labels))
+        if k != n_comp:
+            n_comp = k
+            q = modularity_q(labels)
+            if q > best_q:
+                best_q, best_labels = q, labels
+    return best_labels
+
+
 def hdbscan_k(sim: np.ndarray, min_cluster_size: int = 3) -> int:
     """Density-based cluster-count estimate — the HDBSCAN-role G10
     estimator (reference src/cluster_pred/cluster_predict.py:132-160,
@@ -532,8 +631,9 @@ def estimate_k(
     score_col: str = "score",
     threshold: float = 0.3,
     max_block_rows: int = 2048,
+    max_gn_edges: int = 300,
 ) -> DataFrame:
-    """Per-block cluster-count estimation, three estimators (G10).
+    """Per-block cluster-count estimation, five estimators (G10).
 
     The reference ships several k estimators (HDBSCAN at
     src/cluster_pred/cluster_predict.py:132-160, FastNewman :41-129,
@@ -550,11 +650,17 @@ def estimate_k(
       k_hdbscan    — density estimate via mutual-reachability MST +
                      condensed-tree excess-of-mass at min_cluster_size=3
                      (``hdbscan_k``) — the reference's predicted-k
-                     headline estimator (cluster_predict.py:132-160).
+                     headline estimator (cluster_predict.py:132-160);
+      k_gn         — Girvan–Newman: iterative max-betweenness edge
+                     removal, partition at the modularity argmax
+                     (``gn_labels``, reference cluster_predict.py:174-255).
 
-    Returns (block_key, n, k_cc, k_modularity, k_fastnewman, k_hdbscan).
-    Oversized blocks report the dense estimators = k_cc (the same
-    union-find fallback ghac_cluster uses).
+    Returns (block_key, n, k_cc, k_modularity, k_fastnewman, k_hdbscan,
+    k_gn). Oversized blocks report the dense estimators = k_cc (the same
+    union-find fallback ghac_cluster uses); k_gn additionally falls back
+    to k_cc when the thresholded graph has more than ``max_gn_edges``
+    edges — its global betweenness loop is O(E²·V), affordable only on
+    the sparse post-threshold graphs it is meant for.
     """
     edges = scored.select(
         F.col(block_col).alias("_bk"),
@@ -571,19 +677,19 @@ def estimate_k(
     grouped = edges.unionByName(verts)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_estimate_k_block(pdf, threshold, max_block_rows)
+        return _solve_estimate_k_block(pdf, threshold, max_block_rows, max_gn_edges)
 
     return grouped.groupBy("_bk").applyInPandas(
         solve,
         schema=(
             "block_key string, n long, k_cc long, k_modularity long, "
-            "k_fastnewman long, k_hdbscan long"
+            "k_fastnewman long, k_hdbscan long, k_gn long"
         ),
     )
 
 
 def _solve_estimate_k_block(
-    pdf: pd.DataFrame, threshold: float, max_block_rows: int
+    pdf: pd.DataFrame, threshold: float, max_block_rows: int, max_gn_edges: int = 300
 ) -> pd.DataFrame:
     bk = pdf["_bk"].iloc[0]
     ids = sorted(set(pdf["_a"]).union(pdf["_b"]))
@@ -593,7 +699,7 @@ def _solve_estimate_k_block(
         # guard FIRST: k_cc needs only union-find over the edge rows —
         # the dense matrix is never allocated for oversized blocks
         k_cc = len(np.unique(_threshold_cc_labels_edges(pdf, pos, n, threshold)))
-        k_mod = k_fn = k_hd = k_cc
+        k_mod = k_fn = k_hd = k_gn = k_cc
     else:
         sim = _dense_sim(pdf, pos, n)
         thr = sim.copy()
@@ -602,6 +708,11 @@ def _solve_estimate_k_block(
         k_mod = len(np.unique(ghac_labels(sim, threshold)))
         k_fn = len(np.unique(fastnewman_labels((thr > 0).astype("float64"))))
         k_hd = hdbscan_k(sim)
+        adj = thr > 0
+        if int(np.triu(adj, 1).sum()) <= max_gn_edges:
+            k_gn = len(np.unique(gn_labels(adj)))
+        else:
+            k_gn = k_cc  # documented guard: GN's loop is O(E²·V)
     return pd.DataFrame(
         {
             "block_key": [bk],
@@ -610,6 +721,7 @@ def _solve_estimate_k_block(
             "k_modularity": [k_mod],
             "k_fastnewman": [k_fn],
             "k_hdbscan": [k_hd],
+            "k_gn": [k_gn],
         }
     )
 

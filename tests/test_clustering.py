@@ -412,3 +412,61 @@ def test_estimate_k_hdbscan_column(spark):
 
     for r in estimate_k(scored, members, threshold=0.3, max_block_rows=4).collect():
         assert r["k_hdbscan"] == r["k_cc"]
+
+
+def test_gn_labels_kernel():
+    """Girvan–Newman trace (reference GN class, cluster_predict.py:174-255):
+    max-betweenness edge removal, modularity argmax on the original graph."""
+    from jmdfane_spark.operators.clustering import gn_labels
+
+    # two triangles joined by one bridge: the bridge carries all cross
+    # shortest paths -> removed first -> 2 communities at the Q argmax
+    adj = np.zeros((6, 6))
+    for i, j in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]:
+        adj[i, j] = adj[j, i] = 1
+    assert len(np.unique(gn_labels(adj))) == 2
+
+    # no positive-Q split exists: stays ONE community (reference initial
+    # partition [all nodes] with max_Q = 0.0 and strict >)
+    tri = np.zeros((3, 3))
+    for i, j in [(0, 1), (1, 2), (0, 2)]:
+        tri[i, j] = tri[j, i] = 1
+    assert len(np.unique(gn_labels(tri))) == 1
+
+    # already-disconnected components found without any bridge
+    two = np.zeros((6, 6))
+    for i, j in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]:
+        two[i, j] = two[j, i] = 1
+    assert len(np.unique(gn_labels(two))) == 2
+
+    # degenerate: edgeless graph = all singletons; single vertex
+    assert len(np.unique(gn_labels(np.zeros((4, 4))))) == 4
+    assert gn_labels(np.zeros((1, 1))).tolist() == [0]
+
+
+def test_estimate_k_gn_column(spark):
+    """k_gn from estimate_k matches the kernel; oversized and
+    over-max_gn_edges blocks fall back to k_cc."""
+    from jmdfane_spark.operators.clustering import estimate_k, gn_labels
+
+    rows = (
+        [("b", f"x{i}", f"x{j}", 0.9) for i in range(3) for j in range(3) if i < j]
+        + [("b", f"y{i}", f"y{j}", 0.9) for i in range(3) for j in range(3) if i < j]
+        + [("b", "x0", "y0", 0.8)]
+    )
+    scored = spark.createDataFrame(rows, "block_key string, id_a string, id_b string, score double")
+    ids = sorted({r[1] for r in rows} | {r[2] for r in rows})
+    members = spark.createDataFrame([("b", v) for v in ids], "block_key string, id string")
+    got = {r["block_key"]: r for r in estimate_k(scored, members, threshold=0.3).collect()}
+    pos = {v: i for i, v in enumerate(ids)}
+    adj = np.zeros((len(ids), len(ids)), dtype=bool)
+    for _, a, b, s in rows:
+        if s > 0.3:
+            adj[pos[a], pos[b]] = adj[pos[b], pos[a]] = True
+    assert got["b"]["k_gn"] == len(np.unique(gn_labels(adj))) == 2
+
+    # guard: max_gn_edges=0 forces the k_cc fallback
+    for r in estimate_k(scored, members, threshold=0.3, max_gn_edges=0).collect():
+        assert r["k_gn"] == r["k_cc"]
+    for r in estimate_k(scored, members, threshold=0.3, max_block_rows=4).collect():
+        assert r["k_gn"] == r["k_cc"]
