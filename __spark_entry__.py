@@ -1061,9 +1061,12 @@ def oracle_sql() -> dict[str, str]:
                 THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                 ELSE 0.0 END, 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0
+            -- filter on the ROUNDED cosine, exactly like the Spark query:
+            -- an unrounded WHERE would diverge on boundary pairs (raw in
+            -- [0.9899995, 0.99) rounds to 0.99 and passes only one side)
+            WHERE round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0
                 THEN list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                ELSE 0.0 END >= 0.99
+                ELSE 0.0 END, 6) >= 0.99
         """,
         "txt_token_count": f"""
             SELECT doc_id::bigint AS doc_id,

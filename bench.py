@@ -76,6 +76,7 @@ def main() -> None:
         res.labels.count()
         pipe_times.append(round(time.time() - t0, 3))
         pairs_scored = res.metrics["pairs_scored"]
+        stage_secs = {k: v for k, v in res.metrics.items() if k.startswith("t_")}
         res.release()  # no cached RDDs carried between reps
 
     timings: dict[str, float] = {"er_pipeline_full": round(statistics.median(pipe_times), 3)}
@@ -100,6 +101,11 @@ def main() -> None:
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        # r1-r4 recorded a single cold-JVM pass under this metric name;
+        # from r5 `value` is the sum of per-query MEDIANS over `reps`
+        # warm reps (the r4 verdict's requested semantics). The raw wall
+        # including warmup is `bench_wall_sec`.
+        "value_semantics": "sum of per-query medians over reps (one JVM)",
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -108,6 +114,7 @@ def main() -> None:
         "cpus": int(cpus),
         "reps": reps,
         "pipeline_rep_secs": pipe_times,
+        "pipeline_stage_secs": stage_secs,  # last rep (warm)
         "host_steal_pct": steal_pct,
         "bench_wall_sec": wall,
     }

@@ -307,10 +307,10 @@ def hdbscan_k(sim: np.ndarray, min_cluster_size: int = 3) -> int:
     distance slot — a documented quirk we do NOT copy), mutual-
     reachability with core-distance k = min_cluster_size, Prim MST,
     single-linkage merge tree, condensed tree at min_cluster_size, and
-    excess-of-mass cluster selection (root unselectable, ties favor
-    children — the library defaults). The returned count follows the
-    reference's ``len(set(labels))``: selected clusters + 1 if any point
-    is noise.
+    excess-of-mass cluster selection (root unselectable; ties keep the
+    parent, matching the library's strict `subtree > node` descent). The
+    returned count follows the reference's ``len(set(labels))``: selected
+    clusters + 1 if any point is noise.
     """
     n = int(sim.shape[0])
     if n == 0:
@@ -376,10 +376,13 @@ def hdbscan_k(sim: np.ndarray, min_cluster_size: int = 3) -> int:
     # condensed tree: descend shedding sub-mcs sides; stability(C) =
     # Σ_points (λ_leave − λ_birth). `pts` counts every point that ever
     # belonged to the condensed cluster's subtree (= its flat members
-    # when selected).
+    # when selected). Iterative (explicit work queue + bottom-up pass) —
+    # a recursive walk blows Python's stack on chain-structured blocks of
+    # a few thousand points, well inside max_block_rows territory.
     clusters: list[dict] = []
-
-    def walk(node: int, bl: float) -> int:
+    work: list[tuple[int, float, int | None]] = [(root, 0.0, None)]
+    while work:
+        node, bl, parent_idx = work.pop()
         stab = 0.0
         cur = node
         remaining = int(size[node])
@@ -390,10 +393,11 @@ def hdbscan_k(sim: np.ndarray, min_cluster_size: int = 3) -> int:
             big = [x for x in (a, b) if size[x] >= mcs]
             if len(big) == 2:
                 stab += remaining * (l - bl)
-                ca = walk(a, l)
-                cb = walk(b, l)
-                clusters.append({"stab": stab, "children": [ca, cb], "pts": pts})
-                return len(clusters) - 1
+                idx = len(clusters)
+                clusters.append({"stab": stab, "children": [], "pts": pts})
+                work.append((a, l, idx))
+                work.append((b, l, idx))
+                break
             if len(big) == 1:
                 small = b if big[0] == a else a
                 stab += int(size[small]) * (l - bl)
@@ -401,31 +405,37 @@ def hdbscan_k(sim: np.ndarray, min_cluster_size: int = 3) -> int:
                 remaining = int(size[cur])
                 continue
             stab += remaining * (l - bl)
+            idx = len(clusters)
             clusters.append({"stab": stab, "children": [], "pts": pts})
-            return len(clusters) - 1
+            break
+        if parent_idx is not None:
+            clusters[parent_idx]["children"].append(idx)
 
-    root_idx = walk(root, 0.0)
-    root_rec = clusters[root_idx]
-    if not root_rec["children"]:
+    if not clusters[0]["children"]:
         return 1  # never split into two dense clusters → all noise
 
-    def select(idx: int) -> tuple[float, list[int]]:
+    # excess-of-mass selection, bottom-up (children always have a larger
+    # index than their parent). Ties keep the PARENT — the library's
+    # `subtree_stability > stability[node]` check; ties are common here
+    # because equal similarities give zero-persistence merges.
+    n_cl = len(clusters)
+    sel_stab = [0.0] * n_cl
+    sel_list: list[list[int]] = [[] for _ in range(n_cl)]
+    for idx in range(n_cl - 1, -1, -1):
         c = clusters[idx]
         if not c["children"]:
-            return c["stab"], [idx]
-        child_stab, child_sel = 0.0, []
-        for ch in c["children"]:
-            s, sel = select(ch)
-            child_stab += s
-            child_sel += sel
-        if c["stab"] > child_stab:
-            return c["stab"], [idx]
-        return child_stab, child_sel
+            sel_stab[idx] = c["stab"]
+            sel_list[idx] = [idx]
+            continue
+        child_stab = sum(sel_stab[ch] for ch in c["children"])
+        if child_stab > c["stab"]:
+            sel_stab[idx] = child_stab
+            sel_list[idx] = [x for ch in c["children"] for x in sel_list[ch]]
+        else:
+            sel_stab[idx] = c["stab"]
+            sel_list[idx] = [idx]
 
-    selected: list[int] = []
-    for ch in root_rec["children"]:
-        _, sel = select(ch)
-        selected += sel
+    selected = [x for ch in clusters[0]["children"] for x in sel_list[ch]]
     covered = sum(clusters[i]["pts"] for i in selected)
     return len(selected) + (1 if covered < n else 0)
 

@@ -38,19 +38,23 @@ class PipelineResult:
     persists: list = field(default_factory=list)
 
     def release(self) -> None:
-        """Unpersist every intermediate still backing ``labels``.
+        """Free every intermediate still backing ``labels`` — and with it
+        the result itself.
 
-        Call AFTER materializing (collect/count/write) the labels —
-        releasing first is still correct but recomputes the pipeline on
-        the next action. Also drains the process-wide operator registry
-        (:mod:`..persist`) so a run leaves no cached RDDs behind.
+        Call AFTER the labels are materialized (collect/count/write) and
+        will not be read again: the list includes the CC label
+        localCheckpoints, whose lineage is truncated, so a post-release
+        action on ``labels`` fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+        rather than recomputing. Scoped to THIS result only (frames are
+        unregistered, not drained, from the process-wide registry — other
+        live results are untouched).
         """
         from .. import persist as _persist
 
         for df in self.persists:
             _persist.unpersist_any(df)
+            _persist.unregister(df)
         self.persists.clear()
-        _persist.release()
 
 
 def normalize_files(
