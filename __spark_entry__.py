@@ -555,6 +555,19 @@ def q_levenshtein_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 twin: Jaro-Winkler similarity (north_rule's named path/name
+    channel). Arrow-batched byte-level UDF, bit-exact vs DuckDB's
+    jaro_winkler_similarity (verified on all three sf part tables), so
+    the raw double is emitted unrounded."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        F.col("p_partkey").cast("long").alias("partkey"),
+        S.jaro_winkler(F.col("p_name"), F.col("p_type")).alias("jw_sim"),
+        S.jaro_winkler(F.col("p_name"), F.col("p_name")).alias("jw_self"),
+    )
+
+
 def q_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: token-set Jaccard / intersection / union sizes on doc pairs."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
@@ -889,6 +902,7 @@ _SORT_KEYS: dict[str, list[str]] = {
     "block_stats_threshold": ["block_key"],
     "union_distinct": ["user_id"],
     "levenshtein_parts": ["partkey"],
+    "jaro_winkler_parts": ["partkey"],
     "jaccard_docs": ["doc_a", "doc_b"],
     "events_windowed_agg": ["hour", "event_type"],
     "label_encoding": ["code"],
@@ -943,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_stats_threshold": q_block_stats_threshold,
         "union_distinct": q_union_distinct,
         "levenshtein_parts": q_levenshtein_parts,
+        "jaro_winkler_parts": q_jaro_winkler_parts,
         "jaccard_docs": q_jaccard_docs,
         "events_windowed_agg": q_events_windowed_agg,
         "label_encoding": q_label_encoding,
@@ -1190,6 +1205,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey::bigint AS partkey,
                    levenshtein(p_name, p_type)::bigint AS lev,
                    round(1.0 - levenshtein(p_name, p_type)::double / greatest(length(p_name), length(p_type)), 6) AS lev_ratio
+            FROM part WHERE p_partkey <= 200
+        """,
+        "jaro_winkler_parts": """
+            SELECT p_partkey::bigint AS partkey,
+                   jaro_winkler_similarity(p_name, p_type) AS jw_sim,
+                   jaro_winkler_similarity(p_name, p_name) AS jw_self
             FROM part WHERE p_partkey <= 200
         """,
         "jaccard_docs": f"""

@@ -15,8 +15,12 @@ All functions return DoubleType columns and are null-safe (empty arrays →
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -103,3 +107,122 @@ def containment(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     mn = F.least(F.size(a), F.size(b)).cast("double")
     return F.when(mn > 0, inter / mn).otherwise(F.lit(0.0))
+
+
+def _jaro_winkler_batch(a_vals: list, b_vals: list) -> np.ndarray:
+    """Vectorized Jaro-Winkler over one Arrow batch, byte-level.
+
+    The inner loop advances over BYTE POSITIONS (bounded by the longest
+    string in the batch), never rows: each iteration resolves the greedy
+    in-window match for one a-position across the ENTIRE batch with numpy
+    boolean algebra, so the work is O(La · n · Lb) vectorized ops and the
+    only per-row Python is input marshalling (same discipline as
+    scoring.tfidf_cosine_udf). Intended for short identifier / normalized
+    path strings — the reference's name-matching role
+    (src/pre_data/repare_data_name.py:48-65); do not point it at document
+    bodies.
+
+    Semantics pinned to DuckDB ``jaro_winkler_similarity`` (verified
+    empirically in-container, including the odd-transposition case):
+      * operates on UTF-8 BYTES (not code points);
+      * match window = max(⌊max(la,lb)/2⌋ − 1, 0);
+      * greedy first-unused match within the window, scanning b
+        left-to-right for each a-position in order;
+      * transpositions t = (#order mismatches between the matched
+        subsequences) // 2  (integer division);
+      * jaro = (m/la + m/lb + (m−t)/m)/3; 0.0 when m == 0 or either
+        side is empty (both-empty → 0.0, as DuckDB);
+      * Winkler boost 0.1·min(common_prefix_bytes, 4)·(1−jaro) applied
+        only when jaro > 0.7;
+      * NULL on either side → NULL (NaN here).
+    """
+    n = len(a_vals)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    isnull = np.fromiter(
+        ((x is None) or (y is None) for x, y in zip(a_vals, b_vals)), dtype=bool, count=n
+    )
+    ab = [x.encode("utf-8") if isinstance(x, str) else b"" for x in a_vals]
+    bb = [y.encode("utf-8") if isinstance(y, str) else b"" for y in b_vals]
+    la = np.fromiter((len(x) for x in ab), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in bb), dtype=np.int64, count=n)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+    out = np.zeros(n, dtype=np.float64)
+    if La == 0 or Lb == 0:
+        out[isnull] = np.nan
+        return out
+
+    def _pad(bufs: list, lens: np.ndarray, width: int) -> np.ndarray:
+        mat = np.zeros((n, width), dtype=np.uint8)
+        total = int(lens.sum())
+        if total:
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            rows = np.repeat(np.arange(n), lens)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            cols = np.arange(total) - np.repeat(offs, lens)
+            mat[rows, cols] = flat
+        return mat
+
+    A, B = _pad(ab, la, La), _pad(bb, lb, Lb)
+    kcol = np.arange(Lb)[None, :]
+    valid_b = kcol < lb[:, None]
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    used = np.zeros((n, Lb), dtype=bool)
+    a_matched = np.zeros((n, La), dtype=bool)
+    for j in range(La):
+        active = la > j
+        if not active.any():
+            break
+        cand = (B == A[:, j : j + 1]) & ~used & valid_b
+        cand &= (kcol >= (j - win)[:, None]) & (kcol <= (j + win)[:, None])
+        cand &= active[:, None]
+        has = cand.any(axis=1)
+        k = cand.argmax(axis=1)
+        used[has, k[has]] = True
+        a_matched[has, j] = True
+    m = a_matched.sum(axis=1)
+    mmax = int(m.max(initial=0))
+    if mmax:
+        # matched bytes of a in a-order vs matched bytes of b in b-order;
+        # stable argsort(~flag) compacts matched positions leftward
+        oa = np.argsort(~a_matched, axis=1, kind="stable")[:, :mmax]
+        ob = np.argsort(~used, axis=1, kind="stable")[:, :mmax]
+        ca = np.take_along_axis(A, oa, axis=1)
+        cb = np.take_along_axis(B, ob, axis=1)
+        mism = (ca != cb) & (np.arange(mmax)[None, :] < m[:, None])
+        t = mism.sum(axis=1) // 2
+    else:
+        t = np.zeros(n, dtype=np.int64)
+    safe = m > 0
+    ms, las, lbs = m.astype(np.float64), la.astype(np.float64), lb.astype(np.float64)
+    jaro = np.zeros(n, dtype=np.float64)
+    jaro[safe] = (
+        ms[safe] / las[safe] + ms[safe] / lbs[safe] + (ms[safe] - t[safe]) / ms[safe]
+    ) / 3.0
+    w = min(4, La, Lb)
+    if w:
+        eq = (A[:, :w] == B[:, :w]) & (np.arange(w)[None, :] < np.minimum(la, lb)[:, None])
+        pref = np.cumprod(eq, axis=1).sum(axis=1)
+    else:
+        pref = np.zeros(n, dtype=np.int64)
+    out = np.where(jaro > 0.7, jaro + pref * 0.1 * (1.0 - jaro), jaro)
+    out[isnull] = np.nan
+    return out
+
+
+def jaro_winkler(a: Column, b: Column) -> Column:
+    """Jaro-Winkler similarity (north_rule stage-2 path/name channel),
+    DuckDB-compatible byte-level semantics — see _jaro_winkler_batch.
+
+    Spark has no built-in Jaro-Winkler, so this is one of the few places
+    the engine leaves the JVM: an Arrow-batched pandas UDF whose inner
+    loops are over byte positions, not rows (zero per-row Python in the
+    scoring sense). Returns DoubleType in [0,1]; NULL iff either input
+    is NULL.
+    """
+    return _jaro_winkler_pudf(a, b)
+
+
+@pandas_udf(DoubleType())
+def _jaro_winkler_pudf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    return pd.Series(_jaro_winkler_batch(sa.tolist(), sb.tolist()))

@@ -160,6 +160,7 @@ def score_pairs(
     weights: dict[str, float] | None = None,
     tfidf_impl: str = "jvm",
     prune_below: float | None = None,
+    path_sim_impl: str = "lev",
 ) -> DataFrame:
     """Attach per-channel similarities + fused score to a candidate-pair df.
 
@@ -176,6 +177,10 @@ def score_pairs(
     filter selects exactly the same edges as a full scoring pass, at
     ~2× throughput (measured sf0.1). Leave None when the full channel
     vector matters (e.g. per-block adaptive thresholds, A5).
+
+    ``path_sim_impl``: "lev" (default, JVM levenshtein_ratio) or "jw"
+    (Jaro-Winkler — the north_rule's other named character-level path
+    metric, Arrow-batched; see functions.similarity.jaro_winkler).
     """
     w = dict(weights or CHANNEL_WEIGHTS)
     has_tfidf = "tfidf_idx_a" in pairs.columns
@@ -183,7 +188,16 @@ def score_pairs(
     # tokens/shingles arrive deduplicated from normalize_files/word_ngrams
     # → the set-specialized Jaccard (no array_union build) is exact here
     out = pairs.withColumn("token_jaccard", S.jaccard_sets(F.col("tokens_a"), F.col("tokens_b")))
-    out = out.withColumn("path_sim", S.levenshtein_ratio(F.col("norm_path_a"), F.col("norm_path_b")))
+    # path channel: Levenshtein ratio (default, pure JVM) or Jaro-Winkler
+    # (the north_rule's other named path metric; Arrow-batched UDF with
+    # DuckDB-exact byte semantics). Both in [0,1], null → 0.0 for "jw".
+    if path_sim_impl == "jw":
+        path_expr = F.coalesce(
+            S.jaro_winkler(F.col("norm_path_a"), F.col("norm_path_b")), F.lit(0.0)
+        )
+    else:
+        path_expr = S.levenshtein_ratio(F.col("norm_path_a"), F.col("norm_path_b"))
+    out = out.withColumn("path_sim", path_expr)
 
     shingle_expr = S.jaccard_sets(F.col("shingles_a"), F.col("shingles_b"))
     if has_emb:

@@ -217,3 +217,104 @@ def test_score_pairs_oov_excludes_channel(spark):
             + w["path_sim"] * oov["path_sim"]
         ) / (1.0 - w["emb_cosine"])
         assert abs(oov["score"] - expected) < 1e-9, (prune, oov["score"], expected)
+
+
+def _jw_ref(a: str | None, b: str | None) -> float | None:
+    """Independent per-row Jaro-Winkler reference (DuckDB semantics:
+    UTF-8 bytes, greedy window match, t = mismatches//2, boost iff
+    jaro > 0.7, empty → 0.0) for testing the vectorized batch kernel."""
+    if a is None or b is None:
+        return None
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    la, lb = len(ab), len(bb)
+    if la == 0 or lb == 0:
+        return 0.0
+    win = max(max(la, lb) // 2 - 1, 0)
+    used = [False] * lb
+    ma = []
+    for j in range(la):
+        for k in range(max(0, j - win), min(lb - 1, j + win) + 1):
+            if not used[k] and bb[k] == ab[j]:
+                used[k] = True
+                ma.append(ab[j])
+                break
+    m = len(ma)
+    if m == 0:
+        return 0.0
+    mb = [bb[k] for k in range(lb) if used[k]]
+    t = sum(1 for x, y in zip(ma, mb) if x != y) // 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    pref = 0
+    for x, y in zip(ab[:4], bb[:4]):
+        if x != y:
+            break
+        pref += 1
+    return jaro + pref * 0.1 * (1.0 - jaro) if jaro > 0.7 else jaro
+
+
+def test_jaro_winkler_batch_matches_reference():
+    """Batch kernel vs the per-row reference on adversarial + random
+    cases (incl. multi-byte UTF-8, empties, nulls, odd 3-cycle
+    transpositions), and vs DuckDB's jaro_winkler_similarity directly."""
+    import random
+
+    from jmdfane_spark.functions.similarity import _jaro_winkler_batch
+
+    cases = [
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("abcxxx", "bcaxxx"),
+        ("", ""), ("", "abc"), ("abc", ""), (None, "a"), ("a", None),
+        ("héllo", "hallo"), ("aaaaaaaaaa", "aaaaaaaaab"), ("ab", "ba"),
+        ("abcd", "abdc"), ("src/main.py", "src/main2.py"), ("x", "x"),
+    ]
+    rng = random.Random(11)
+    alpha = "abcdé€/._"
+    cases += [
+        (
+            "".join(rng.choices(alpha, k=rng.randint(0, 14))),
+            "".join(rng.choices(alpha, k=rng.randint(0, 14))),
+        )
+        for _ in range(800)
+    ]
+    got = _jaro_winkler_batch([c[0] for c in cases], [c[1] for c in cases])
+    import numpy as np
+
+    for (a, b), g in zip(cases, got):
+        want = _jw_ref(a, b)
+        if want is None:
+            assert np.isnan(g), (a, b, g)
+        else:
+            assert g == want, (a, b, g, want)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for a, b in cases:
+        if a is None or b is None:
+            continue
+        dk = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert _jw_ref(a, b) == dk, (a, b)
+
+
+def test_jaro_winkler_spark_column_and_scoring_channel(spark):
+    """The Spark UDF agrees with the reference through Arrow, and
+    score_pairs(path_sim_impl='jw') swaps the path channel in place."""
+    from jmdfane_spark.operators.scoring import score_pairs
+
+    df = spark.createDataFrame(
+        [("martha", "marhta"), ("dixon", "dicksonx"), (None, "a"), ("", "")],
+        "a string, b string",
+    )
+    got = df.select("a", "b", S.jaro_winkler(F.col("a"), F.col("b")).alias("jw")).collect()
+    for r in got:
+        want = _jw_ref(r["a"], r["b"])
+        assert (r["jw"] is None and want is None) or r["jw"] == want, (r, want)
+
+    pairs = spark.createDataFrame(
+        [("a", "b", ["x"], ["x"], "pkg/module_one.py", "pkg/module_two.py")],
+        "id_a string, id_b string, tokens_a array<string>, tokens_b array<string>, "
+        "norm_path_a string, norm_path_b string",
+    ).withColumn("shingles_a", F.col("tokens_a")).withColumn("shingles_b", F.col("tokens_b"))
+    lev = score_pairs(pairs).first()
+    jw = score_pairs(pairs, path_sim_impl="jw").first()
+    assert jw["path_sim"] == _jw_ref("pkg/module_one.py", "pkg/module_two.py")
+    assert lev["path_sim"] != jw["path_sim"]  # genuinely different metric
