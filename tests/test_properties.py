@@ -58,3 +58,34 @@ def test_jaccard_property(spark, a, b):
     sa, sb = set(a), set(b)
     want = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
     assert abs(got - want) < 1e-6
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=24)),
+            st.one_of(st.none(), st.text(max_size=24)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_jaro_winkler_batch_property(pairs):
+    """Batch kernel == per-row reference on arbitrary unicode batches
+    (no Spark session needed — this guards the numpy position-loop
+    vectorization against the sequential greedy semantics)."""
+    import numpy as np
+
+    from test_operators import _jw_ref  # tests dir is on sys.path (no pkg)
+
+    from jmdfane_spark.functions.similarity import _jaro_winkler_batch
+
+    got = _jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+    for (a, b), g in zip(pairs, got):
+        want = _jw_ref(a, b)
+        if want is None:
+            assert np.isnan(g), (a, b, g)
+        else:
+            assert g == want, (a, b, g, want)
+            assert 0.0 <= g <= 1.0
