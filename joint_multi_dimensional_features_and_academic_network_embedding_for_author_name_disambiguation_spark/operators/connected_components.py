@@ -21,6 +21,7 @@ and directly joinable back to the labels table.
 
 from __future__ import annotations
 
+import time as _time
 import warnings
 from dataclasses import dataclass, field
 
@@ -52,6 +53,7 @@ def connected_components(
     checkpointer=None,
     count_components: bool = False,
     contract_after: int = 1,
+    broadcast_max_vertices: int = 4_000_000,
 ) -> CCResult:
     """Hash-min CC over an undirected edge table.
 
@@ -69,6 +71,17 @@ def connected_components(
     one (the same idea as the large-star/small-star contraction family).
     0 disables. Contraction is skipped in checkpointed mode so every
     written iteration keeps original-vertex labels for resume.
+    broadcast_max_vertices: when |V| ≤ this bound, every edge×label join
+    hash-broadcasts the label side. Both tables here are localCheckpointed
+    (LogicalRDD), whose Catalyst size estimate is defaultSizeInBytes —
+    effectively infinite — so without the explicit hint every hash-min
+    iteration and the contraction degrade to SortMergeJoin, sorting the
+    2|E| edge stream per pass (measured: the label table was 23k rows vs
+    a 29M-row edge table and still sort-merged). |V| is counted once from
+    the cached vertex table (one columnar job); above the bound the
+    shuffle join is the honest plan — at 10^12 vertices a label table
+    does not fit in an executor, and partial aggregation already bounds
+    the min-message shuffle at |V| rows per map partition. 0 disables.
     """
     # no distinct(): hash-min's min-aggregate is idempotent to duplicate
     # edges, and for unique unordered input pairs the swapped union has no
@@ -82,6 +95,10 @@ def connected_components(
 
     start_iter = 0
     labels = None
+    identity_labels = False  # True ⇒ label(v) == v, so the first hash-min
+    # pass needs no edge×label join: min over neighbours of label(u) is
+    # just min(src) per dst — one agg over the cached edge table instead
+    # of a join pass over 2|E| rows
     if checkpointer is not None:
         labels, start_iter = checkpointer.latest_iteration("cc_labels")
     prev_ckpt = None   # the checkpoint currently backing `labels` (freed when superseded)
@@ -90,19 +107,36 @@ def connected_components(
         labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
         labels = labels.localCheckpoint()
         prev_ckpt = labels
+        identity_labels = True
+
+    # |V| gate for broadcasting the label side of every edge×label join —
+    # one columnar count of the (already materialized) label table
+    small_v = False
+    if broadcast_max_vertices:
+        small_v = labels.count() <= broadcast_max_vertices
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_v else df
 
     metrics: list[dict] = []
     base_labels = None  # set when the graph is contracted: (id, comp1)
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
+        _it_t0 = _time.time()
         # candidate labels flowing along edges
-        msgs = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
+        if identity_labels:
+            msgs = sym.groupBy(F.col("dst").alias("id")).agg(
+                F.min("src").alias("nbr_component")
+            )
+            identity_labels = False
+        else:
+            msgs = (
+                sym.join(_b(labels.withColumnRenamed("id", "src")), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
         new_labels = (
-            labels.join(msgs, "id", "left")
+            labels.join(_b(msgs), "id", "left")
             .select(
                 "id",
                 F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
@@ -137,7 +171,11 @@ def connected_components(
             if prev_ckpt is not None:
                 _persist.unpersist_any(prev_ckpt)
             prev_ckpt = flagged
-        row = {"iteration": it, "labels_changed": int(changed)}
+        row = {
+            "iteration": it,
+            "labels_changed": int(changed),
+            "wall_sec": round(_time.time() - _it_t0, 3),
+        }
         if count_components:
             # optional: a full extra job per iteration — only for lineage
             # metrics, never needed for convergence. After contraction the
@@ -149,8 +187,10 @@ def connected_components(
                 composed = (
                     base_labels.withColumnRenamed("component", "_c1")
                     .join(
-                        labels.select(
-                            F.col("id").alias("_c1"), F.col("component").alias("_cf")
+                        _b(
+                            labels.select(
+                                F.col("id").alias("_c1"), F.col("component").alias("_cf")
+                            )
                         ),
                         "_c1",
                         "left",
@@ -171,7 +211,7 @@ def connected_components(
         jmap = labels.select(
             F.col("id").alias("component"), F.col("component").alias("_c2")
         )
-        labels = labels.join(jmap, "component", "left").select(
+        labels = labels.join(_b(jmap), "component", "left").select(
             "id", F.coalesce(F.col("_c2"), F.col("component")).alias("component")
         )
         if (
@@ -194,8 +234,8 @@ def connected_components(
             lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("_ls"))
             lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("_ld"))
             contracted = (
-                sym.join(lab_src, "src")
-                .join(lab_dst, "dst")
+                sym.join(_b(lab_src), "src")
+                .join(_b(lab_dst), "dst")
                 .where(F.col("_ls") != F.col("_ld"))
                 .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
                 .distinct()
@@ -211,6 +251,13 @@ def connected_components(
                 .localCheckpoint()
             )
             prev_ckpt = labels
+            identity_labels = True  # quotient labels start as identity too
+            # the quotient vertex set is usually orders of magnitude
+            # smaller than the original — re-evaluate the broadcast gate
+            # so a too-big-to-broadcast input still gets broadcast
+            # iterations on the contracted graph
+            if broadcast_max_vertices and not small_v:
+                small_v = labels.count() <= broadcast_max_vertices
 
     _persist.unpersist_any(sym)  # post-contraction sym is a localCheckpoint
     if base_labels is not None:
@@ -220,7 +267,7 @@ def connected_components(
         final_map = labels.select(F.col("id").alias("_c1"), F.col("component").alias("_cf"))
         labels = (
             base_labels.withColumnRenamed("component", "_c1")
-            .join(final_map, "_c1", "left")
+            .join(_b(final_map), "_c1", "left")
             .select("id", F.coalesce(F.col("_cf"), F.col("_c1")).alias("component"))
         )
     converged = (not metrics) or metrics[-1]["labels_changed"] == 0
