@@ -104,7 +104,7 @@ def tfidf_features(docs: DataFrame, id_col: str, tokens_col: str, dim: int = TFI
 
 
 def tfidf_cosine_jvm(
-    idx_a: Column, map_a: Column, norm_a: Column, idx_b: Column, map_b: Column, norm_b: Column
+    map_a: Column, norm_a: Column, map_b: Column, norm_b: Column
 ) -> Column:
     """Sparse cosine, pure JVM, via ONE hash-merged map_zip_with pass.
 
@@ -113,8 +113,8 @@ def tfidf_cosine_jvm(
     array, run twice per common key — measured 93.9s for the channel on
     the 14.5M-pair workload. map_zip_with builds one hash index over the
     key union per pair (O(n+m)) and multiplies aligned values — 44.7s,
-    identical results. idx args kept for signature stability (the sorted
-    idx arrays still serve the Arrow-UDF variant and tests)."""
+    identical results. Reads only (map, norm) per side, so the pipeline
+    can drop the idx/val arrays from the pair payload entirely."""
     prod = F.map_zip_with(
         map_a,
         map_b,
@@ -183,7 +183,13 @@ def score_pairs(
     metric, Arrow-batched; see functions.similarity.jaro_winkler).
     """
     w = dict(weights or CHANNEL_WEIGHTS)
-    has_tfidf = "tfidf_idx_a" in pairs.columns
+    # either sparse representation carries the channel: (map, norm) for the
+    # JVM map_zip_with kernel, (idx, val) for the Arrow bincount kernel —
+    # the pipeline ships only the one its tfidf_impl reads (the other is
+    # redundant bytes through the pair broadcast/shuffle)
+    has_tfidf_map = "tfidf_map_a" in pairs.columns
+    has_tfidf_arr = "tfidf_idx_a" in pairs.columns
+    has_tfidf = has_tfidf_map or has_tfidf_arr
     has_emb = "emb_cosine" in w
     # tokens/shingles arrive deduplicated from normalize_files/word_ngrams
     # → the set-specialized Jaccard (no array_union build) is exact here
@@ -220,10 +226,10 @@ def score_pairs(
         # degenerate single-channel config — floor the denominator
         oov_denom = max(1.0 - w["emb_cosine"], 1e-9)
     if has_tfidf:
-        if tfidf_impl == "jvm" and "tfidf_map_a" in pairs.columns:
+        if has_tfidf_map and (tfidf_impl == "jvm" or not has_tfidf_arr):
             tfidf_expr = tfidf_cosine_jvm(
-                F.col("tfidf_idx_a"), F.col("tfidf_map_a"), F.col("tfidf_norm_a"),
-                F.col("tfidf_idx_b"), F.col("tfidf_map_b"), F.col("tfidf_norm_b"),
+                F.col("tfidf_map_a"), F.col("tfidf_norm_a"),
+                F.col("tfidf_map_b"), F.col("tfidf_norm_b"),
             )
         else:
             tfidf_expr = tfidf_cosine_udf(
