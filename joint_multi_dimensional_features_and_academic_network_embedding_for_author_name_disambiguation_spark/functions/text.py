@@ -85,6 +85,32 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
 
 
+def hashed_word_ngrams(hashed_tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingle HASHES from an already-hashed token array.
+
+    Equivalent set semantics to ``transform(word_ngrams(toks, n),
+    xxhash64)`` — two documents share a shingle hash iff they share the
+    underlying n-token window (up to the same 2^-64-scale xxhash64
+    collision class) — but ~2× cheaper per row: each shingle is one
+    chained ``xxhash64`` over an n-slice of longs instead of a
+    ``concat_ws`` string allocation plus a string hash, and the distinct
+    pass runs on longs. The <n-token fallback hashes the whole (hashed)
+    sequence, mirroring word_ngrams' single whole-document shingle; a
+    k<n-element chained hash cannot equal an n-element one, so fallback
+    and true shingles never alias. Same let-binding discipline as
+    word_ngrams (the input is referenced once per output element).
+    """
+    def build(t: Column) -> Column:
+        m = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.when(m >= n, F.transform(idx, lambda i: F.xxhash64(F.slice(t, i, n))))
+            .otherwise(F.array(F.xxhash64(t)))
+        )
+
+    return F.element_at(F.transform(F.array(hashed_tokens), build), 1)
+
+
 def word_ngrams(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array (n-gram Jaccard dedup).
 

@@ -54,6 +54,8 @@ def connected_components(
     count_components: bool = False,
     contract_after: int = 1,
     broadcast_max_vertices: int = 4_000_000,
+    n_vertices: int | None = None,
+    jumps_per_iter: int = 2,
 ) -> CCResult:
     """Hash-min CC over an undirected edge table.
 
@@ -82,15 +84,30 @@ def connected_components(
     shuffle join is the honest plan — at 10^12 vertices a label table
     does not fit in an executor, and partial aggregation already bounds
     the min-message shuffle at |V| rows per map partition. 0 disables.
+    n_vertices: pass |V| when the caller already knows it (the pipeline
+    counts members once) — skips the broadcast gate's count job.
+    jumps_per_iter: pointer-jumping applications composed (lazily) into
+    each materialized round — k jumps shrink the remaining label-chain
+    distance 2^k× per round, so chain-like graphs converge in fewer
+    synchronization rounds for the price of k−1 extra |V|-sized label
+    joins folded into the round's single materialization (never
+    |E|-sized work).
     """
     # no distinct(): hash-min's min-aggregate is idempotent to duplicate
     # edges, and for unique unordered input pairs the swapped union has no
     # duplicates anyway — a distinct here is a full extra shuffle of 2|E|
     # rows for nothing (measured ~100s of task time on the 14.5M-pair
-    # scaling workload).
-    sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    )
+    # scaling workload). Symmetrize with ONE pass over the input via
+    # explode — the r5 two-branch union scanned the upstream (here: the
+    # whole scored-pairs cache) twice to materialize sym.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+                F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     sym.persist()
 
     start_iter = 0
@@ -105,21 +122,26 @@ def connected_components(
     keep_ckpts: list = []  # checkpoints base_labels still reads (freed by the caller)
     if labels is None:
         labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-        labels = labels.localCheckpoint()
+        # lazy: nothing reads the identity labels until the first
+        # non-shortcut join — no point paying an eager materialization job
+        labels = labels.localCheckpoint(eager=False)
         prev_ckpt = labels
         identity_labels = True
 
     # |V| gate for broadcasting the label side of every edge×label join —
-    # one columnar count of the (already materialized) label table
+    # caller-supplied count when known, else one columnar count job
     small_v = False
     if broadcast_max_vertices:
-        small_v = labels.count() <= broadcast_max_vertices
+        if n_vertices is None:
+            n_vertices = labels.count()
+        small_v = n_vertices <= broadcast_max_vertices
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_v else df
 
     metrics: list[dict] = []
     base_labels = None  # set when the graph is contracted: (id, comp1)
+    stale_sym = None  # pre-contraction sym, freed once the quotient materializes
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
         _it_t0 = _time.time()
@@ -162,8 +184,16 @@ def connected_components(
                 _persist.unpersist_any(prev_ckpt)
                 prev_ckpt = None
         else:
-            flagged = new_labels.localCheckpoint()  # also cuts iterative lineage
+            # lazy checkpoint: the convergence agg below is the action
+            # that materializes it — one job per iteration instead of the
+            # r5 eager-checkpoint-then-agg two (lineage is cut identically)
+            flagged = new_labels.localCheckpoint(eager=False)
             changed = flagged.agg(changed_agg).collect()[0]["n"]
+            if stale_sym is not None:
+                # the contracted quotient is materialized now — the
+                # original edge persist is dead weight
+                _persist.unpersist_any(stale_sym)
+                stale_sym = None
             labels = flagged.drop("_changed")
             # the agg above materialized `flagged`, so the checkpoint it
             # was computed FROM is dead weight — free it now instead of
@@ -203,17 +233,20 @@ def connected_components(
         metrics.append(row)
         if changed == 0:
             break
-        # pointer jumping: component ← label(component). One |V|-sized join
-        # that halves the remaining distance to the component minimum each
-        # iteration — O(log diameter) rounds on chain-like graphs instead
-        # of O(diameter). Identity at the fixpoint (labels constant per
-        # component), so the edge-based convergence test is untouched.
-        jmap = labels.select(
-            F.col("id").alias("component"), F.col("component").alias("_c2")
-        )
-        labels = labels.join(_b(jmap), "component", "left").select(
-            "id", F.coalesce(F.col("_c2"), F.col("component")).alias("component")
-        )
+        # pointer jumping: component ← label(component). A |V|-sized join
+        # that halves the remaining distance to the component minimum;
+        # COMPOSED jumps_per_iter times lazily (each jump's map derives
+        # from the previous jump's output), so one materialized round
+        # shrinks chains 2^k× — O(log d / k) synchronization rounds on
+        # chain-like graphs. Identity at the fixpoint (labels constant
+        # per component), so the edge-based convergence test is untouched.
+        for _ in range(max(1, jumps_per_iter)):
+            jmap = labels.select(
+                F.col("id").alias("component"), F.col("component").alias("_c2")
+            )
+            labels = labels.join(_b(jmap), "component", "left").select(
+                "id", F.coalesce(F.col("_c2"), F.col("component")).alias("component")
+            )
         if (
             contract_after
             and checkpointer is None
@@ -233,22 +266,44 @@ def connected_components(
                 prev_ckpt = None
             lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("_ls"))
             lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("_ld"))
+            # contract ONE direction of each edge (src < dst) — half the
+            # rows through both label joins and the distinct — normalize
+            # to canonical orientation, dedupe, then re-symmetrize with a
+            # single explode pass (r5 pushed all 2|E| rows through the
+            # joins and deduped both orientations separately)
             contracted = (
-                sym.join(_b(lab_src), "src")
+                sym.where(F.col("src") < F.col("dst"))
+                .join(_b(lab_src), "src")
                 .join(_b(lab_dst), "dst")
                 .where(F.col("_ls") != F.col("_ld"))
-                .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+                .select(
+                    F.least("_ls", "_ld").alias("src"),
+                    F.greatest("_ls", "_ld").alias("dst"),
+                )
                 .distinct()
-                .localCheckpoint()
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("src"), F.col("dst")),
+                            F.struct(
+                                F.col("dst").alias("src"), F.col("src").alias("dst")
+                            ),
+                        )
+                    ).alias("_e")
+                )
+                .select("_e.src", "_e.dst")
+                .localCheckpoint(eager=False)
             )
-            _persist.unpersist_any(sym)
-            sym = contracted  # localCheckpoint already holds it in memory
+            # the lazy quotient still READS the old sym until its first
+            # materialization (next iteration's convergence action) —
+            # freeing it now would silently recompute the full edge scan
+            stale_sym = sym
+            sym = contracted
             labels = (
                 sym.select(F.col("src").alias("id"))
-                .union(sym.select(F.col("dst").alias("id")))
-                .distinct()
+                .distinct()  # sym holds both directions: src covers every quotient vertex
                 .select("id", F.col("id").alias("component"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             prev_ckpt = labels
             identity_labels = True  # quotient labels start as identity too
@@ -259,6 +314,8 @@ def connected_components(
             if broadcast_max_vertices and not small_v:
                 small_v = labels.count() <= broadcast_max_vertices
 
+    if stale_sym is not None:  # loop exhausted max_iter right after contracting
+        _persist.unpersist_any(stale_sym)
     _persist.unpersist_any(sym)  # post-contraction sym is a localCheckpoint
     if base_labels is not None:
         # compose: original id → comp1 → final component. Components whose

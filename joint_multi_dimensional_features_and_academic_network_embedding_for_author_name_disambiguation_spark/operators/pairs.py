@@ -119,15 +119,21 @@ def blocked_pairs(
     block_col: str = "block_key",
     id_col: str = "id",
     max_rows_per_task: int = 2000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """All unordered within-block pairs: (block_key, id_a, id_b, + payload).
 
     ``members`` must have one row per (block_key, id); every other column
     is carried as ``<col>_a`` / ``<col>_b`` payload for the scorer.
+
+    ``counts``: optional precomputed ``(block_col, _n)`` block-size table
+    (e.g. the pipeline's pair-count pre-pass) so the same skinny groupBy
+    is not re-aggregated here.
     """
     payload = [c for c in members.columns if c not in (block_col, id_col)]
 
-    counts = members.groupBy(block_col).agg(F.count("*").alias("_n"))
+    if counts is None:
+        counts = members.groupBy(block_col).agg(F.count("*").alias("_n"))
     counts = counts.withColumn(
         "_splits",
         F.ceil(F.col("_n").cast("double") / F.lit(max_rows_per_task)).cast("int"),

@@ -62,7 +62,14 @@ CHANNEL_WEIGHTS_EMB = {
 TFIDF_DIM = 1024  # hashed feature space for the Arrow-UDF cosine variant
 
 
-def tfidf_features(docs: DataFrame, id_col: str, tokens_col: str, dim: int = TFIDF_DIM) -> DataFrame:
+def tfidf_features(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    dim: int = TFIDF_DIM,
+    n_docs: int | None = None,
+    distinct_tokens: bool = False,
+) -> DataFrame:
     """Per-doc hashed TF-IDF sparse vectors.
 
     Returns (id, tfidf_idx: sorted array<long>, tfidf_val: array<float>
@@ -73,10 +80,22 @@ def tfidf_features(docs: DataFrame, id_col: str, tokens_col: str, dim: int = TFI
     df counts → broadcast idf join → per-doc weights grouped back.
     ``tokens_col`` may be strings or hashed longs; the sparse index is
     pmod(xxhash64(token), dim).
+
+    ``n_docs``: pass the row count when the caller already knows it (the
+    pipeline counts the raw files scan) — skips a count job that would
+    otherwise execute the docs projection one extra time.
+    ``distinct_tokens``: set True when every row's token array is already
+    deduplicated (normalize_files emits sets) — TF is then 1 by
+    construction and the per-(id, token) pre-aggregation shuffle is
+    dropped outright, with identical output values.
     """
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     toks = docs.select(id_col, F.explode(tokens_col).alias("tok"))
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    if distinct_tokens:
+        tf = toks.withColumn("tf", F.lit(1))
+    else:
+        tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = df_counts.select("tok", (F.log(F.lit(float(n_docs)) / F.col("df") + 1.0)).alias("idf"))
     w = (
@@ -168,14 +187,19 @@ def score_pairs(
     (optionally) the tfidf_* columns from ``tfidf_features``. One select —
     a single pass over the pair stream, no intermediate materialization.
 
-    ``prune_below``: cascade optimization. Cheap channels (token Jaccard,
-    path lev) are computed for every pair; the expensive channels
-    (shingle Jaccard, TF-IDF cosine) run only where the fused-score UPPER
-    BOUND (expensive channels := 1.0) can still reach ``prune_below``.
-    Pruned pairs carry NULL expensive channels and score = the (sub-
-    threshold) upper bound — so any downstream `score >= prune_below`
-    filter selects exactly the same edges as a full scoring pass, at
-    ~2× throughput (measured sf0.1). Leave None when the full channel
+    ``prune_below``: tiered-cascade optimization. Tier 0 bounds the fused
+    score from SIZE RATIOS alone (token_jaccard ≤ min|T|/max|T|,
+    shingle_jaccard ≤ min|S|/max|S|, other channels := 1) — O(1) per
+    pair, no intersect, no edit distance; measured 43% of the sf0.1
+    bench pair stream pruned before any per-element work. Survivors get
+    the cheap channels (token Jaccard, path lev); tier 1 re-bounds with
+    the exact token Jaccard; tier 2 re-bounds with the exact shingle
+    Jaccard before the TF-IDF (and embedding) channels run. Pruned pairs
+    carry NULL for every channel not yet computed at their tier and
+    score = the (sub-threshold) upper bound of their tier — so any
+    downstream `score >= prune_below` filter selects exactly the same
+    edges as a full scoring pass (survivor scores are produced by the
+    identical expression, bit-equal). Leave None when the full channel
     vector matters (e.g. per-block adaptive thresholds, A5).
 
     ``path_sim_impl``: "lev" (default, JVM levenshtein_ratio) or "jw"
@@ -193,7 +217,7 @@ def score_pairs(
     has_emb = "emb_cosine" in w
     # tokens/shingles arrive deduplicated from normalize_files/word_ngrams
     # → the set-specialized Jaccard (no array_union build) is exact here
-    out = pairs.withColumn("token_jaccard", S.jaccard_sets(F.col("tokens_a"), F.col("tokens_b")))
+    tok_expr = S.jaccard_sets(F.col("tokens_a"), F.col("tokens_b"))
     # path channel: Levenshtein ratio (default, pure JVM) or Jaro-Winkler
     # (the north_rule's other named path metric; Arrow-batched UDF with
     # DuckDB-exact byte semantics). Both in [0,1], null → 0.0 for "jw".
@@ -203,7 +227,6 @@ def score_pairs(
         )
     else:
         path_expr = S.levenshtein_ratio(F.col("norm_path_a"), F.col("norm_path_b"))
-    out = out.withColumn("path_sim", path_expr)
 
     shingle_expr = S.jaccard_sets(F.col("shingles_a"), F.col("shingles_b"))
     if has_emb:
@@ -238,10 +261,9 @@ def score_pairs(
     else:
         tfidf_expr = F.col("token_jaccard")
 
-    cheap_part = w["token_jaccard"] * F.col("token_jaccard") + w["path_sim"] * F.col("path_sim")
-    exp_weight = w["shingle_jaccard"] + w["tfidf_cosine"] + (w["emb_cosine"] if has_emb else 0.0)
-
     if prune_below is None:
+        out = pairs.withColumn("token_jaccard", tok_expr)
+        out = out.withColumn("path_sim", path_expr)
         out = out.withColumn("shingle_jaccard", shingle_expr)
         out = out.withColumn("tfidf_cosine", tfidf_expr)
         fused: Column = sum(
@@ -256,27 +278,63 @@ def score_pairs(
             ).otherwise(fused / F.lit(oov_denom))
         return out.withColumn("score", F.round(fused, 9))
 
-    # cascade upper bound: expensive channels can't exceed 1. Still valid
-    # for OOV-renormalized rows: (cheap + A)/(1−w_emb) ≤ cheap + A + w_emb
-    # whenever cheap + A + w_emb ≤ 1 (weights are convex), so ub never
-    # under-prunes.
-    ub = cheap_part + F.lit(exp_weight)
-    keep = ub >= F.lit(prune_below)
-    out = out.withColumn("shingle_jaccard", F.when(keep, shingle_expr))
-    out = out.withColumn("tfidf_cosine", F.when(keep, tfidf_expr))
+    # ---- tiered cascade. Every ub is a true upper bound of the fused
+    # score (channels bounded by size ratios where known, by 1 otherwise);
+    # still valid for OOV-renormalized rows: (cheap + A)/(1−w_emb) ≤
+    # cheap + A + w_emb whenever cheap + A + w_emb ≤ 1 (weights are
+    # convex), so no tier under-prunes. EPS absorbs the round-9 applied
+    # to each channel and to the final score (≤ 5e-10 each): a bound may
+    # be exceeded by rounding alone, never by more than EPS.
+    EPS = 1e-9
+    thr = F.lit(prune_below - EPS)
+    w_t, w_p = w["token_jaccard"], w["path_sim"]
+    w_s, w_f = w["shingle_jaccard"], w["tfidf_cosine"]
+    w_e = w["emb_cosine"] if has_emb else 0.0
+    na = F.coalesce(F.size(F.col("tokens_a")), F.lit(0))
+    nb = F.coalesce(F.size(F.col("tokens_b")), F.lit(0))
+    sa = F.coalesce(F.size(F.col("shingles_a")), F.lit(0))
+    sb = F.coalesce(F.size(F.col("shingles_b")), F.lit(0))
+    # token_jaccard ≤ min|T|/max|T| (inter ≤ min, union ≥ max); same for
+    # shingles. O(1) arithmetic on array lengths — no per-element work.
+    r_tok = F.when(
+        F.greatest(na, nb) > 0, F.least(na, nb).cast("double") / F.greatest(na, nb)
+    ).otherwise(F.lit(0.0))
+    r_sh = F.when(
+        F.greatest(sa, sb) > 0, F.least(sa, sb).cast("double") / F.greatest(sa, sb)
+    ).otherwise(F.lit(0.0))
+
+    # tier 0: sizes only — gates the intersects AND the edit distance
+    ub0 = F.lit(w_t) * r_tok + F.lit(w_p) + F.lit(w_s) * r_sh + F.lit(w_f + w_e)
+    keep0 = ub0 >= thr
+    out = pairs.withColumn("token_jaccard", F.when(keep0, tok_expr))
+    out = out.withColumn("path_sim", F.when(keep0, path_expr))
+    cheap_part = w_t * F.col("token_jaccard") + w_p * F.col("path_sim")
+
+    # tier 1: exact cheap channels, shingle still bounded by its size ratio
+    ub1 = cheap_part + F.lit(w_s) * r_sh + F.lit(w_f + w_e)
+    keep1 = keep0 & (ub1 >= thr)
+    out = out.withColumn("shingle_jaccard", F.when(keep1, shingle_expr))
+
+    # tier 2: exact shingle — only now pay for TF-IDF (and embedding)
+    ub2 = cheap_part + w_s * F.col("shingle_jaccard") + F.lit(w_f + w_e)
+    keep2 = keep1 & (ub2 >= thr)
+    out = out.withColumn("tfidf_cosine", F.when(keep2, tfidf_expr))
     fused_full = (
         cheap_part
         + w["shingle_jaccard"] * F.col("shingle_jaccard")
         + w["tfidf_cosine"] * F.col("tfidf_cosine")
     )
     if has_emb:
-        out = out.withColumn("emb_cosine", F.when(keep, emb_expr))
-        # emb_cosine is NULL when pruned OR OOV; `keep` disambiguates
+        out = out.withColumn("emb_cosine", F.when(keep2, emb_expr))
+        # emb_cosine is NULL when pruned OR OOV; `keep2` disambiguates
         fused_full = F.when(
             F.col("emb_cosine").isNotNull(),
             fused_full + w["emb_cosine"] * F.col("emb_cosine"),
         ).otherwise(fused_full / F.lit(oov_denom))
-    return out.withColumn("score", F.round(F.when(keep, fused_full).otherwise(ub), 9))
+    score = (
+        F.when(keep2, fused_full).when(keep1, ub2).when(keep0, ub1).otherwise(ub0)
+    )
+    return out.withColumn("score", F.round(score, 9))
 
 
 def fit_channel_weights(

@@ -76,11 +76,16 @@ def normalize_files(
         F.sha2(F.col("content"), 256).alias("content_sha"),
         F.lower(F.regexp_replace(F.col("path"), "[^A-Za-z0-9/.]+", "")).alias("norm_path"),
         T.path_stem(F.col("path")).alias("stem"),
-        T.tokenize(F.col("content")).alias("_tseq"),
+        # hash EARLY: the staged column is the hashed token sequence, so
+        # the distinct/sort for `tokens` and the shingle construction all
+        # run on longs (identical token-hash values: hash-then-distinct ==
+        # distinct-then-hash), and the barrier cache holds 8-byte elements
+        # instead of strings.
+        F.transform(T.tokenize(F.col("content")), lambda t: F.xxhash64(t)).alias("_th"),
     )
     if staged:
         # materialization barrier: the shingle transform references the
-        # token sequence once per ELEMENT; if _tseq stays an expression,
+        # token sequence once per ELEMENT; if _th stays an expression,
         # projection collapse re-runs the whole tokenization per shingle
         # (~130× per row). One cheap cache turns that into column reads.
         # The persist is handed to the caller's list (or the global
@@ -95,12 +100,11 @@ def normalize_files(
             _persist.register(base)
     return base.select(
         "id", "repo", "path", "commit", "lang", "content_sha", "norm_path", "stem",
-        F.array_sort(
-            F.transform(F.array_distinct(F.col("_tseq")), lambda t: F.xxhash64(t))
-        ).alias("tokens"),
-        F.array_sort(
-            F.transform(T.word_ngrams(F.col("_tseq"), 3), lambda t: F.xxhash64(t))
-        ).alias("shingles"),
+        F.array_sort(F.array_distinct(F.col("_th"))).alias("tokens"),
+        # shingle hashes from hashed tokens: equal-set semantics to the r5
+        # string-trigram hashing (scores depend only on shingle-set
+        # relations, which are preserved), ~2× cheaper per row
+        F.array_sort(T.hashed_word_ngrams(F.col("_th"), 3)).alias("shingles"),
     )
 
 
@@ -165,12 +169,20 @@ def run_pipeline(
     # the scan has ~10⁵ partitions and this branch never fires; locally it
     # is the difference between serial and parallel stage 0.
     par = spark.sparkContext.defaultParallelism
+    # corpus row count, read from the cheap PRE-normalize scan (for a
+    # parquet source this is a metadata-scale count job): feeds the TF-IDF
+    # N and the broadcast gate, replacing the r5 docs.count() that
+    # executed the tokenization projection one extra time (VERDICT item 4)
+    n_files = files.count()
     if files.rdd.getNumPartitions() < par:
         files = files.repartition(par * 2)
     _staged: list = []  # normalize's tokenization barrier, released below
     norm = normalize_files(files, staged=True, persists=_staged)
     if use_tfidf:
-        feats = scoring.tfidf_features(norm.select("id", "tokens"), "id", "tokens")
+        feats = scoring.tfidf_features(
+            norm.select("id", "tokens"), "id", "tokens",
+            n_docs=n_files, distinct_tokens=True,
+        )
         # tfidf_features emits BOTH sparse representations; ship only the
         # one the chosen kernel reads — the other is dead weight through
         # the members persist, the pair broadcast (twice), and every
@@ -212,17 +224,18 @@ def run_pipeline(
     # Pair-count pre-pass: Σ over key groups of n·(n−1)/2 is the exact
     # row count the blocked self-join will materialize (pre-dedup for
     # banded keys — which is precisely the volume the shuffle must carry).
-    # One skinny groupBy — at any scale it shuffles only #distinct keys.
+    # One skinny groupBy — at any scale it shuffles only #distinct keys —
+    # computed ONCE and shared with blocked_pairs' bucket-split pre-pass
+    # (r5 aggregated the identical table twice).
+    counts = keys.groupBy("block_key").agg(F.count("*").alias("_n")).persist()
     est_pairs = (
-        keys.groupBy("block_key")
-        .agg(F.count("*").alias("_n"))
-        .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
+        counts.agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
         .collect()[0]["_p"]
         or 0.0
     )
 
     def build_pairs() -> DataFrame:
-        pairs = blocked_pairs(keys, "block_key", "id", max_rows_per_task)
+        pairs = blocked_pairs(keys, "block_key", "id", max_rows_per_task, counts=counts)
         if use_bands:
             pairs = pairs.groupBy("id_a", "id_b").agg(F.min("block_key").alias("block_key"))
         return pairs
@@ -243,9 +256,15 @@ def run_pipeline(
     # in a 1-task wave with 15 cores idle (~9% of the stage); any multiple
     # of the parallelism keeps the final wave full
     n_part = -(-n_part // par) * par
-    pairs = pairs.repartition(n_part).persist()
+    # hash-repartition on the pair key instead of round-robin: round-robin
+    # pays a local sort of its input first (sortBeforeRepartition, for
+    # retry determinism — guide §2.5); hashing the high-cardinality
+    # (id_a, id_b) key spreads just as evenly, is retry-deterministic by
+    # construction, and skips the sort.
+    pairs = pairs.repartition(n_part, "id_a", "id_b").persist()
     n_pairs = pairs.count()
     keys.unpersist()
+    counts.unpersist()
     metrics["pairs_generated"] = n_pairs
     metrics["pairs_estimated"] = int(est_pairs)
     metrics["pair_partitions"] = n_part
@@ -435,7 +454,8 @@ def run_pipeline(
         return PipelineResult(labels=labels, metrics=metrics, persists=_live_persists())
 
     cc = connected_components(
-        vertices.select("id"), edges.select("id_a", "id_b"), checkpointer=ck
+        vertices.select("id"), edges.select("id_a", "id_b"), checkpointer=ck,
+        n_vertices=n_members,
     )
     metrics["cc_iterations"] = cc.iterations
     metrics["cc_metrics"] = cc.metrics
