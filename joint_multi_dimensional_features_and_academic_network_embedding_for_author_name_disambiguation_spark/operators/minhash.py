@@ -15,6 +15,114 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- bit-exact numpy re-implementation of Spark's xxhash64 over longs ----
+# Spark evaluates xxhash64(lit(i), tok) as
+#   hashLong(tok, seed=hashInt(i, 42))
+# (catalyst XxHash64 folds arguments left-to-right, literal ints hash via
+# the 4-byte path). The constants/rounds below are the public XXH64
+# algorithm; equality with Spark's results is pinned by
+# tests/test_dedup.py::test_banded_keys_fast_path_matches_expression.
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64_int(i: int, seed: int) -> int:
+    """XXH64 of one 4-byte int (python ints, used only to precompute the
+    per-permutation seeds at UDF-construction time)."""
+    rotl = lambda x, r: ((x << r) | (x >> (64 - r))) & _M64
+    h = (seed + _XP5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _XP1) & _M64
+    h = (rotl(h, 23) * _XP2 + _XP3) & _M64
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+_SIG_UDF_CACHE: dict[int, object] = {}
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """Arrow-batched minhash signature over array<long> token columns.
+
+    Produces the EXACT signature of :func:`minhash_signature` (pinned by
+    test) — min over tokens of Spark's xxhash64(lit(i), token), signed
+    long min — but vectorized: the token-dependent half of each hash
+    (k1 = rotl(tok·P2, 31)·P1) is computed once per token and shared by
+    all num_hashes seed lanes, each lane is ~7 numpy ops over the
+    batch-flattened token array, and the per-document min is one
+    reduceat. The r5 expression path evaluated num_hashes interpreted
+    array_min(transform(...)) trees per row — the dominant cost of every
+    MinHash operator (guide §4.2: batch native kernels over interpreted
+    per-element evaluation).
+    """
+    if num_hashes in _SIG_UDF_CACHE:
+        return _SIG_UDF_CACHE[num_hashes]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = np.array([_xxh64_int(i, 42) for i in range(num_hashes)], dtype=np.uint64)
+
+    # no type annotations: module uses lazy (string) annotations and pandas
+    # is function-local, so hint resolution would fail — the un-annotated
+    # form is the classic Series→Series scalar pandas UDF
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(tokens):
+        n = len(tokens)
+        vals = tokens.to_numpy(dtype=object)
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vals), dtype=np.int64, count=n
+        )
+        nz = lens > 0
+        total = int(lens.sum())
+        sig_nz = None
+        if total:
+            with np.errstate(over="ignore"):
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in vals[nz]]
+                ).view(np.uint64)
+                # token-dependent round, shared across all seed lanes
+                k1 = flat * np.uint64(_XP2)
+                k1 = ((k1 << np.uint64(31)) | (k1 >> np.uint64(33))) * np.uint64(_XP1)
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens[nz])[:-1])
+                ).astype(np.int64)
+                sig_nz = np.empty((int(nz.sum()), num_hashes), dtype=np.int64)
+                base = np.uint64(_XP5) + np.uint64(8)
+                for j in range(num_hashes):
+                    h = (seeds[j] + base) ^ k1
+                    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * np.uint64(
+                        _XP1
+                    ) + np.uint64(_XP4)
+                    h ^= h >> np.uint64(33)
+                    h *= np.uint64(_XP2)
+                    h ^= h >> np.uint64(29)
+                    h *= np.uint64(_XP3)
+                    h ^= h >> np.uint64(32)
+                    # Spark's array_min is a SIGNED long min
+                    sig_nz[:, j] = np.minimum.reduceat(h.view(np.int64), starts)
+        empty = [None] * num_hashes  # empty/null tokens → all-null signature
+        res: list = []
+        k = 0
+        for i in range(n):
+            if nz[i]:
+                res.append(sig_nz[k])
+                k += 1
+            else:
+                res.append(empty)
+        return pd.Series(res)
+
+    _SIG_UDF_CACHE[num_hashes] = _sig
+    return _sig
 
 
 def _seeded_hash(seed: int):
@@ -64,15 +172,53 @@ def banded_keys(
 ) -> DataFrame:
     """Skinny (id, block_key) band-key table — the production path.
 
-    Plan shape matters here: ``posexplode(signature)`` evaluates the
-    64-hash signature expression exactly ONCE per input row (an explode is
-    an evaluation barrier Catalyst cannot inline through), then band keys
-    are a groupBy over (id, pos/rows) — all relational, no re-evaluation.
-    Deriving band columns from the signature with slice() instead makes
-    Catalyst's projection collapse re-inline (and re-evaluate) the
-    signature subtree once per band — 32× the work. Measured 34s → <2s on
-    the sf0.01 documents table.
+    Two physically different plans, byte-identical keys:
+
+    * hashed-token input (array<long>, every production call site): the
+      signature is ONE Arrow-batched numpy kernel per row
+      (:func:`_minhash_sig_udf`); band keys derive from the signature
+      ATTRIBUTE (a python-UDF result is materialized once by its
+      ArrowEvalPython node, so per-band slice() references cannot
+      re-evaluate it) and explode into skinny rows with NO shuffle at
+      all. The r5 path posexplode+groupBy'd id×(bands·rows) rows back
+      together purely to avoid re-evaluating the interpreted signature
+      expression per band — with the signature in a single UDF attribute
+      that whole shuffle is unnecessary.
+    * string tokens (generic callers): the r5 expression path —
+      ``posexplode(signature)`` evaluates the signature exactly once per
+      row (an explode is an evaluation barrier Catalyst cannot inline
+      through), then band keys are a groupBy over (id, pos/rows).
+      Deriving band columns with slice() here would make projection
+      collapse re-inline (and re-evaluate) the signature subtree once
+      per band — 32× the work (measured 34s → <2s on sf0.01).
     """
+    elem = df.schema[tokens_col].dataType
+    if isinstance(elem, T.ArrayType) and isinstance(elem.elementType, T.LongType):
+        sig = _minhash_sig_udf(bands * rows)(F.col(tokens_col))
+        cols = [F.col(id_col)] + ([F.col(prefix_col)] if prefix_col else [])
+        base = df.select(*cols, sig.alias("_sig"))
+
+        def mk(i: int) -> Column:
+            bh = F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("_sig"), i * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            )
+            parts = ([F.col(prefix_col)] if prefix_col else []) + [
+                F.lit(str(i)),
+                bh.cast("string"),
+            ]
+            return F.concat_ws("|", *parts)
+
+        return base.select(
+            F.col(id_col),
+            F.explode(F.array(*[mk(i) for i in range(bands)])).alias("block_key"),
+        )
+
     sig = minhash_signature(F.col(tokens_col), bands * rows)
     cols = [F.col(id_col)] + ([F.col(prefix_col)] if prefix_col else [])
     exploded = df.select(*cols, F.posexplode(sig).alias("_pos", "_h"))

@@ -135,3 +135,60 @@ def test_embedding_near_dup(spark):
     got = {(r.id_a, r.id_b) for r in D.embedding_near_dup_pairs(df, "vec_id", "vec", threshold=0.999).collect()}
     assert (0, 1) in got and (0, 4) in got and (1, 4) in got
     assert not any(2 in p or 3 in p for p in got)
+
+
+def test_banded_keys_fast_path_matches_expression(spark):
+    """The Arrow numpy minhash signature (r6 fast path for array<long>
+    tokens) must produce byte-identical (id, block_key) rows to the r5
+    posexplode+groupBy expression path — same xxhash64 values (pinning
+    the numpy XXH64 re-implementation against Spark's), same signed-min,
+    same band-key string format — on random arrays, empty arrays and a
+    prefix column."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from jmdfane_spark.operators import minhash as M
+
+    random.seed(6)
+    rows = []
+    for i in range(40):
+        n = random.choice([0, 1, 2, 5, 37])
+        toks = [random.randint(-(2**63), 2**63 - 1) for _ in range(n)]
+        rows.append((f"id{i}", "px" if i % 3 else "qx", toks))
+    df = spark.createDataFrame(rows, "id string, lang string, toks array<long>")
+
+    def legacy(df, id_col, tokens_col, bands, rs, prefix_col):
+        sig = M.minhash_signature(SF.col(tokens_col), bands * rs)
+        cols = [SF.col(id_col)] + ([SF.col(prefix_col)] if prefix_col else [])
+        exploded = df.select(*cols, SF.posexplode(sig).alias("_pos", "_h"))
+        grp = [SF.col(id_col), (SF.col("_pos") / rs).cast("int").alias("_band")] + (
+            [SF.col(prefix_col)] if prefix_col else []
+        )
+        agg = (
+            exploded.groupBy(*grp)
+            .agg(SF.array_sort(SF.collect_list(SF.struct("_pos", "_h"))).alias("_ph"))
+            .withColumn(
+                "_bh",
+                SF.xxhash64(
+                    SF.concat_ws(
+                        ",", SF.transform(SF.col("_ph"), lambda x: x["_h"].cast("string"))
+                    )
+                ),
+            )
+        )
+        parts = ([SF.col(prefix_col)] if prefix_col else []) + [
+            SF.col("_band").cast("string"),
+            SF.col("_bh").cast("string"),
+        ]
+        return agg.select(SF.col(id_col), SF.concat_ws("|", *parts).alias("block_key"))
+
+    for prefix in (None, "lang"):
+        fast = sorted(
+            map(tuple, M.banded_keys(df, "id", "toks", bands=8, rows=3, prefix_col=prefix).collect())
+        )
+        ref = sorted(map(tuple, legacy(df, "id", "toks", 8, 3, prefix).collect()))
+        assert fast == ref, (prefix, fast[:3], ref[:3])
+    # and the fast path must actually BE the Arrow plan (no silent fallback)
+    plan = M.banded_keys(df, "id", "toks", bands=8, rows=3)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
