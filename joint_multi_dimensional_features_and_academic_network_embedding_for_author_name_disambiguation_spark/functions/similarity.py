@@ -235,15 +235,14 @@ def _jaro_winkler_pudf(sa: pd.Series, sb: pd.Series) -> pd.Series:
 def cosine_batch(a: Column, b: Column) -> Column:
     """Bulk dense cosine: one numpy einsum per Arrow batch (F6/F7 role).
 
-    Same semantics as :func:`cosine` (0.0 on NULL input or zero norm) but
-    ~100× cheaper per pair on ungated pair streams, where the interpreted
-    higher-order-function path dominates the stage (measured: 206k
-    64-dim pairs, 214 s HOF vs <2 s here). Requires equal array lengths
-    within a pair (embedding tables); ragged pairs fall back to per-row
-    np.dot inside the same batch. Summation order differs from the
-    sequential aggregate fold, so raw doubles can differ in the last few
-    ulps — round before any exact comparison (all call sites round to
-    ≤9 digits).
+    Same semantics as :func:`cosine` (0.0 on NULL input or zero norm;
+    NULL when the two arrays have different lengths, matching the HOF
+    path's zip_with null propagation) but ~100× cheaper per pair on
+    ungated pair streams, where the interpreted higher-order-function
+    path dominates the stage (measured: 206k 64-dim pairs, 214 s HOF vs
+    <2 s here). Summation order differs from the sequential aggregate
+    fold, so raw doubles can differ in the last few ulps — round before
+    any exact comparison (all call sites round to ≤9 digits).
     """
     return _cosine_pudf(a, b)
 
@@ -260,10 +259,21 @@ def _cosine_batch_np(a_vals: pd.Series, b_vals: pd.Series) -> np.ndarray:
         A, B = np.stack(av), np.stack(bv)
         dots = np.einsum("ij,ij->i", A, B)
         den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
-    except ValueError:  # ragged batch — per-row numpy, still no Python arithmetic
-        dots = np.array([float(np.dot(x[: len(y)], y[: len(x)])) for x, y in zip(av, bv)])
+    except ValueError:  # ragged batch — per-row numpy, still no Python arithmetic.
+        # HOF parity (r5 ADVICE): a length-MISMATCHED pair is NULL (NaN
+        # through Arrow), exactly like cosine()'s zip_with null
+        # propagation — the old truncated-dot/full-norm fallback was not
+        # a cosine of any vector pair. Equal-length rows in a ragged
+        # batch still get the true cosine.
+        same = [len(x) == len(y) for x, y in zip(av, bv)]
+        dots = np.array(
+            [float(np.dot(x, y)) if s else np.nan for x, y, s in zip(av, bv, same)]
+        )
         den = np.array(
-            [float(np.linalg.norm(x) * np.linalg.norm(y)) for x, y in zip(av, bv)]
+            [
+                float(np.linalg.norm(x) * np.linalg.norm(y)) if s else 1.0
+                for x, y, s in zip(av, bv, same)
+            ]
         )
     vals = np.zeros(len(av), dtype=np.float64)
     good = den > 0

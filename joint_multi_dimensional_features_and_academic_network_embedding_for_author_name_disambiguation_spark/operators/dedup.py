@@ -212,8 +212,13 @@ def embedding_near_dup_pairs(
         "bk1", F.concat(F.lit("B1_"), F.concat(*sig_bits[half:]))
     )
     pairs = multi_key_pairs(base, ["bk0", "bk1"], id_col="id", max_rows_per_task=max_rows_per_task)
+    # verify with the Arrow/numpy batch kernel, NOT the interpreted HOF
+    # cosine: LSH-gated candidate volume is normally small, but a
+    # high-collision corpus (many near-identical vectors — precisely the
+    # dedup use case) re-creates the bulk regime where the HOF path
+    # measured 214 s on ~206k pairs vs <2 s batched (r5 VERDICT item 2).
     return (
-        pairs.withColumn("cosine", S.cosine(F.col("vec_a"), F.col("vec_b")))
+        pairs.withColumn("cosine", S.cosine_batch(F.col("vec_a"), F.col("vec_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -192,3 +192,16 @@ def test_banded_keys_fast_path_matches_expression(spark):
     # and the fast path must actually BE the Arrow plan (no silent fallback)
     plan = M.banded_keys(df, "id", "toks", bands=8, rows=3)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_embedding_near_dup_uses_arrow_kernel(spark):
+    """The LSH-gated verify must run the Arrow/numpy batch cosine, not
+    the interpreted HOF fold (r5 VERDICT item 2: a high-collision corpus
+    re-creates the 214s bulk regime on the HOF path). Assert the plan
+    contains the ArrowEvalPython stage."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, float(i % 2)]) for i in range(8)], "id long, vec array<double>"
+    )
+    out = D.embedding_near_dup_pairs(emb, "id", "vec", threshold=0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
