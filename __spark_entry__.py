@@ -243,14 +243,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors; ranking on
-    round-6 cosine with c_id tie-break (deterministic across engines)."""
+    round-6 cosine with c_id tie-break (deterministic across engines).
+
+    Norms are folded ONCE per row before the cross join instead of once
+    per pair (S.cosine would re-run both norm aggregates inside every
+    pair) — 3 interpreted array folds per pair become 1, with
+    bit-identical values: each norm is the same sqrt(sequential fold)
+    expression, just evaluated on the row side of the join.
+    """
     emb = _t(spark, sf_dir, "embeddings")
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+
     queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").cast("long").alias("q_id"), F.col("embedding").cast("array<double>").alias("_qv")
+        F.col("vec_id").cast("long").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    corpus = emb.select(
+        F.col("vec_id").cast("long").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    corpus = emb.select(F.col("vec_id").cast("long").alias("c_id"), F.col("embedding").cast("array<double>").alias("_cv"))
+    cos = F.when((F.col("_qn") > 0) & (F.col("_cn") > 0), dot / (F.col("_qn") * F.col("_cn"))).otherwise(F.lit(0.0))
     scored = queries.crossJoin(corpus).select(
-        "q_id", "c_id", F.round(S.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine")
+        "q_id", "c_id", F.round(cos, 6).alias("cosine")
     )
     # rank on ROUNDED cosine with c_id tie-break → deterministic across engines
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))

@@ -100,27 +100,56 @@ def connected_components(
     # scaling workload). Symmetrize with ONE pass over the input via
     # explode — the r5 two-branch union scanned the upstream (here: the
     # whole scored-pairs cache) twice to materialize sym.
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
-                F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
-            )
-        ).alias("_e")
-    ).select("_e.src", "_e.dst")
-    sym.persist()
+    def _symmetrize(df: DataFrame, s: str, d: str) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(s).alias("src"), F.col(d).alias("dst")),
+                    F.struct(F.col(d).alias("src"), F.col(s).alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
 
     start_iter = 0
     labels = None
+    base_labels = None  # set when the graph is contracted: (id, comp1)
+    lab_prefix = "cc_labels"
     identity_labels = False  # True ⇒ label(v) == v, so the first hash-min
     # pass needs no edge×label join: min over neighbours of label(u) is
     # just min(src) per dst — one agg over the cached edge table instead
     # of a join pass over 2|E| rows
-    if checkpointer is not None:
-        labels, start_iter = checkpointer.latest_iteration("cc_labels")
+    # Resume INTO the quotient phase when both contraction snapshots are
+    # committed (qedges is written before base_labels, so base committed
+    # ⇒ both valid): the original edge table is never touched again —
+    # the resumable 100 TB configuration no longer pays the 2|E| join
+    # per iteration that contraction eliminates (r5 VERDICT item 3).
+    resume_quotient = (
+        checkpointer is not None
+        and checkpointer.exists("cc_base_labels")
+        and checkpointer.exists("cc_qedges")
+    )
+    if resume_quotient:
+        base_labels = checkpointer.read("cc_base_labels")
+        sym = _symmetrize(checkpointer.read("cc_qedges"), "src", "dst")
+        lab_prefix = "cc_qlabels"
+        labels, start_iter = checkpointer.latest_iteration(lab_prefix)
+    else:
+        sym = _symmetrize(edges, src_col, dst_col)
+        if checkpointer is not None:
+            labels, start_iter = checkpointer.latest_iteration(lab_prefix)
+    sym.persist()
     prev_ckpt = None   # the checkpoint currently backing `labels` (freed when superseded)
     keep_ckpts: list = []  # checkpoints base_labels still reads (freed by the caller)
-    if labels is None:
+    if labels is None and resume_quotient:
+        # killed right after contracting: restart the quotient fixpoint
+        # from identity labels over the (parquet-backed) quotient edges
+        labels = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("component"))
+        )
+        identity_labels = True
+    elif labels is None:
         labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
         # lazy: nothing reads the identity labels until the first
         # non-shortcut join — no point paying an eager materialization job
@@ -140,7 +169,6 @@ def connected_components(
         return F.broadcast(df) if small_v else df
 
     metrics: list[dict] = []
-    base_labels = None  # set when the graph is contracted: (id, comp1)
     stale_sym = None  # pre-contraction sym, freed once the quotient materializes
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
@@ -178,7 +206,7 @@ def connected_components(
         if checkpointer is not None:
             flagged = new_labels.persist()
             changed = flagged.agg(changed_agg).collect()[0]["n"]
-            labels = checkpointer.write_iteration("cc_labels", it, flagged.drop("_changed"))
+            labels = checkpointer.write_iteration(lab_prefix, it, flagged.drop("_changed"))
             flagged.unpersist()
             if prev_ckpt is not None:  # parquet now backs labels
                 _persist.unpersist_any(prev_ckpt)
@@ -205,6 +233,7 @@ def connected_components(
             "iteration": it,
             "labels_changed": int(changed),
             "wall_sec": round(_time.time() - _it_t0, 3),
+            "phase": "quotient" if base_labels is not None else "full",
         }
         if count_components:
             # optional: a full extra job per iteration — only for lineage
@@ -249,7 +278,6 @@ def connected_components(
             )
         if (
             contract_after
-            and checkpointer is None
             and base_labels is None
             and it - start_iter >= contract_after
         ):
@@ -257,13 +285,6 @@ def connected_components(
             # graph instead of re-joining all 2|E| original edges each
             # iteration; connectivity (and the min-id fixpoint) is
             # preserved, labels compose at the end
-            base_labels = labels
-            if prev_ckpt is not None:
-                # base_labels' (lazy) lineage reads this checkpoint until
-                # the final composition — the CALLER frees it via
-                # CCResult.persists after materializing
-                keep_ckpts.append(prev_ckpt)
-                prev_ckpt = None
             lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("_ls"))
             lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("_ld"))
             # contract ONE direction of each edge (src < dst) — half the
@@ -271,7 +292,7 @@ def connected_components(
             # to canonical orientation, dedupe, then re-symmetrize with a
             # single explode pass (r5 pushed all 2|E| rows through the
             # joins and deduped both orientations separately)
-            contracted = (
+            canon = (
                 sym.where(F.col("src") < F.col("dst"))
                 .join(_b(lab_src), "src")
                 .join(_b(lab_dst), "dst")
@@ -281,31 +302,60 @@ def connected_components(
                     F.greatest("_ls", "_ld").alias("dst"),
                 )
                 .distinct()
-                .select(
-                    F.explode(
-                        F.array(
-                            F.struct(F.col("src"), F.col("dst")),
-                            F.struct(
-                                F.col("dst").alias("src"), F.col("src").alias("dst")
-                            ),
-                        )
-                    ).alias("_e")
+            )
+            if checkpointer is not None:
+                # snapshot the quotient phase: edges FIRST, base map
+                # LAST — resume enters the phase only when base_labels
+                # is committed, so a crash between the writes replays
+                # the contraction instead of composing a stale map.
+                # From here on, resumable runs never touch the original
+                # 2|E| edge table again.
+                canon = checkpointer.write("cc_qedges", canon)
+                base_labels = checkpointer.write("cc_base_labels", labels)
+                _persist.unpersist_any(sym)  # parquet now holds the quotient
+                sym = _symmetrize(canon, "src", "dst")
+                sym.persist()
+                labels = (
+                    sym.select(F.col("src").alias("id"))
+                    .distinct()
+                    .select("id", F.col("id").alias("component"))
                 )
-                .select("_e.src", "_e.dst")
-                .localCheckpoint(eager=False)
-            )
-            # the lazy quotient still READS the old sym until its first
-            # materialization (next iteration's convergence action) —
-            # freeing it now would silently recompute the full edge scan
-            stale_sym = sym
-            sym = contracted
-            labels = (
-                sym.select(F.col("src").alias("id"))
-                .distinct()  # sym holds both directions: src covers every quotient vertex
-                .select("id", F.col("id").alias("component"))
-                .localCheckpoint(eager=False)
-            )
-            prev_ckpt = labels
+                lab_prefix = "cc_qlabels"
+            else:
+                base_labels = labels
+                if prev_ckpt is not None:
+                    # base_labels' (lazy) lineage reads this checkpoint
+                    # until the final composition — the CALLER frees it
+                    # via CCResult.persists after materializing
+                    keep_ckpts.append(prev_ckpt)
+                    prev_ckpt = None
+                contracted = (
+                    canon.select(
+                        F.explode(
+                            F.array(
+                                F.struct(F.col("src"), F.col("dst")),
+                                F.struct(
+                                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                                ),
+                            )
+                        ).alias("_e")
+                    )
+                    .select("_e.src", "_e.dst")
+                    .localCheckpoint(eager=False)
+                )
+                # the lazy quotient still READS the old sym until its
+                # first materialization (next iteration's convergence
+                # action) — freeing it now would silently recompute the
+                # full edge scan
+                stale_sym = sym
+                sym = contracted
+                labels = (
+                    sym.select(F.col("src").alias("id"))
+                    .distinct()  # sym holds both directions: src covers every quotient vertex
+                    .select("id", F.col("id").alias("component"))
+                    .localCheckpoint(eager=False)
+                )
+                prev_ckpt = labels
             identity_labels = True  # quotient labels start as identity too
             # the quotient vertex set is usually orders of magnitude
             # smaller than the original — re-evaluate the broadcast gate

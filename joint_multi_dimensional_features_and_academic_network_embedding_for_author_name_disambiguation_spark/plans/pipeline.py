@@ -357,8 +357,15 @@ def run_pipeline(
         return scored.select(*[c for c in keep if c in scored.columns])
 
     # persist: scored feeds both the metrics count and the CC edge input —
-    # without it the whole scoring stage executes twice
-    scored = ck.stage("scored", build_scored) if ck else build_scored().persist()
+    # without it the whole scoring stage executes twice. Non-checkpointed
+    # runs drop the two sha columns from the cache: no downstream branch
+    # (edge filter, adaptive, per-block solvers, repair) reads them, and
+    # at sf0.1 they are ~60% of the cached bytes (2×64-char strings per
+    # pair); the checkpointed snapshot keeps the full documented schema.
+    if ck:
+        scored = ck.stage("scored", build_scored)
+    else:
+        scored = build_scored().drop("content_sha_a", "content_sha_b").persist()
     if adaptive:
         edges = scoring.adaptive_threshold(scored, base=threshold)
     else:

@@ -60,3 +60,46 @@ def test_cc_resumes_from_iteration(spark, tmp_path):
     ck1.log_metric(stage="test", x=1)
     ck1.flush_metrics()
     assert os.path.exists(os.path.join(str(tmp_path / "cc"), "metrics.jsonl"))
+
+
+def test_cc_checkpointed_contraction_kill_resume(spark, tmp_path):
+    """r5 VERDICT item 3: resumable CC must contract too — the resumable
+    configuration is the 100 TB one and used to pay the full 2|E| join
+    every iteration. The quotient phase is snapshotted (cc_qedges +
+    cc_base_labels + cc_qlabels_*); killing mid-quotient-phase and
+    resuming must produce identical labels without touching the original
+    edge table's iteration prefix again."""
+    import shutil
+
+    # chain long enough that the quotient phase runs several iterations
+    chain = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(12)] + [("p", "q")]
+    vids = sorted({x for e in chain for x in e})
+    vdf = spark.createDataFrame([(v,) for v in vids], "id string")
+    edf = spark.createDataFrame(chain, "id_a string, id_b string")
+
+    root = str(tmp_path / "ccq")
+    full = connected_components(vdf, edf, checkpointer=CheckpointManager(spark, root))
+    want = {r.id: r.component for r in full.labels.collect()}
+    assert len(set(want.values())) == 2  # the chain + the (p,q) pair
+    # contraction actually happened and was snapshotted
+    assert os.path.exists(os.path.join(root, "cc_qedges", "_COMMITTED"))
+    assert os.path.exists(os.path.join(root, "cc_base_labels", "_COMMITTED"))
+    qdirs = sorted(d for d in os.listdir(root) if d.startswith("cc_qlabels_"))
+    assert qdirs, "quotient iterations must be checkpointed"
+    assert any(m.get("phase") == "quotient" for m in full.metrics)
+
+    # kill mid-quotient-phase: drop the LAST quotient iteration
+    shutil.rmtree(os.path.join(root, qdirs[-1]))
+    r1 = connected_components(vdf, edf, checkpointer=CheckpointManager(spark, root))
+    assert {r.id: r.component for r in r1.labels.collect()} == want
+
+    # kill right AFTER contracting: drop every quotient iteration
+    for d in os.listdir(root):
+        if d.startswith("cc_qlabels_"):
+            shutil.rmtree(os.path.join(root, d))
+    r2 = connected_components(vdf, edf, checkpointer=CheckpointManager(spark, root))
+    assert {r.id: r.component for r in r2.labels.collect()} == want
+
+    # and the checkpointed answer matches the non-checkpointed one
+    r3 = connected_components(vdf, edf)
+    assert {r.id: r.component for r in r3.labels.collect()} == want
