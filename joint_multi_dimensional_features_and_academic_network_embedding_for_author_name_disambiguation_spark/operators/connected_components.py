@@ -56,6 +56,7 @@ def connected_components(
     broadcast_max_vertices: int = 4_000_000,
     n_vertices: int | None = None,
     jumps_per_iter: int = 2,
+    contract_min_changed: int = 100_000,
 ) -> CCResult:
     """Hash-min CC over an undirected edge table.
 
@@ -280,7 +281,16 @@ def connected_components(
             contract_after
             and base_labels is None
             and it - start_iter >= contract_after
+            and changed >= contract_min_changed
         ):
+            # contract_min_changed is a DATA-derived gate, not a core-count
+            # tune: with fewer than ~10^5 labels still moving, the live
+            # frontier is so small that the remaining label-broadcast
+            # rounds cost no more than the contraction pass itself (one
+            # full scan of 2|E| through two joins plus ~5 scheduling
+            # jobs) — contraction would be pure overhead. At fact scale
+            # the first iteration moves billions of labels and the gate
+            # always fires.
             # contract: continue the fixpoint on the distinct component
             # graph instead of re-joining all 2|E| original edges each
             # iteration; connectivity (and the min-id fixpoint) is

@@ -160,6 +160,11 @@ def run_pipeline(
     metrics: dict = {}
     _t0 = _time.time()
 
+    def _label(desc: str) -> None:
+        # stage labels for the Spark UI / event log (guide §1.5); purely
+        # observational
+        spark.sparkContext.setJobDescription(f"er_pipeline: {desc}")
+
     # ---- stage 0: normalize (barrier: tokenization/shingling/tf-idf must
     # materialize once — Catalyst projection collapse would otherwise
     # re-evaluate it per signature hash / per join side) -----------------------
@@ -173,6 +178,7 @@ def run_pipeline(
     # parquet source this is a metadata-scale count job): feeds the TF-IDF
     # N and the broadcast gate, replacing the r5 docs.count() that
     # executed the tokenization projection one extra time (VERDICT item 4)
+    _label("stage0 normalize")
     n_files = files.count()
     if files.rdd.getNumPartitions() < par:
         files = files.repartition(par * 2)
@@ -228,6 +234,7 @@ def run_pipeline(
     # computed ONCE and shared with blocked_pairs' bucket-split pre-pass
     # (r5 aggregated the identical table twice).
     counts = keys.groupBy("block_key").agg(F.count("*").alias("_n")).persist()
+    _label("stage1 blocking")
     est_pairs = (
         counts.agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
         .collect()[0]["_p"]
@@ -362,6 +369,7 @@ def run_pipeline(
     # (edge filter, adaptive, per-block solvers, repair) reads them, and
     # at sf0.1 they are ~60% of the cached bytes (2×64-char strings per
     # pair); the checkpointed snapshot keeps the full documented schema.
+    _label("stage2 scoring")
     if ck:
         scored = ck.stage("scored", build_scored)
     else:
@@ -458,8 +466,10 @@ def run_pipeline(
                 cross_block_pairs_dropped=n_cross_dropped,
             )
             ck.flush_metrics()
+        spark.sparkContext.setJobDescription(None)
         return PipelineResult(labels=labels, metrics=metrics, persists=_live_persists())
 
+    _label("stage3 cc")
     cc = connected_components(
         vertices.select("id"), edges.select("id_a", "id_b"), checkpointer=ck,
         n_vertices=n_members,
@@ -477,6 +487,7 @@ def run_pipeline(
         labels = _repair(
             labels, scored, threshold if repair_min_score is None else repair_min_score
         )
+    spark.sparkContext.setJobDescription(None)
     return PipelineResult(
         labels=labels, metrics=metrics, persists=_live_persists() + cc.persists
     )

@@ -78,7 +78,9 @@ def test_cc_checkpointed_contraction_kill_resume(spark, tmp_path):
     edf = spark.createDataFrame(chain, "id_a string, id_b string")
 
     root = str(tmp_path / "ccq")
-    full = connected_components(vdf, edf, checkpointer=CheckpointManager(spark, root))
+    full = connected_components(
+        vdf, edf, checkpointer=CheckpointManager(spark, root), contract_min_changed=0
+    )
     want = {r.id: r.component for r in full.labels.collect()}
     assert len(set(want.values())) == 2  # the chain + the (p,q) pair
     # contraction actually happened and was snapshotted
@@ -90,16 +92,20 @@ def test_cc_checkpointed_contraction_kill_resume(spark, tmp_path):
 
     # kill mid-quotient-phase: drop the LAST quotient iteration
     shutil.rmtree(os.path.join(root, qdirs[-1]))
-    r1 = connected_components(vdf, edf, checkpointer=CheckpointManager(spark, root))
+    r1 = connected_components(
+        vdf, edf, checkpointer=CheckpointManager(spark, root), contract_min_changed=0
+    )
     assert {r.id: r.component for r in r1.labels.collect()} == want
 
     # kill right AFTER contracting: drop every quotient iteration
     for d in os.listdir(root):
         if d.startswith("cc_qlabels_"):
             shutil.rmtree(os.path.join(root, d))
-    r2 = connected_components(vdf, edf, checkpointer=CheckpointManager(spark, root))
+    r2 = connected_components(
+        vdf, edf, checkpointer=CheckpointManager(spark, root), contract_min_changed=0
+    )
     assert {r.id: r.component for r in r2.labels.collect()} == want
 
     # and the checkpointed answer matches the non-checkpointed one
-    r3 = connected_components(vdf, edf)
+    r3 = connected_components(vdf, edf, contract_min_changed=0)
     assert {r.id: r.component for r in r3.labels.collect()} == want
