@@ -86,6 +86,25 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def l2_norm(a: Column) -> Column:
+    """‖a‖₂ as the exact sequential square-fold subexpression of
+    :func:`cosine` — exposed so pair-stream callers can fold each side's
+    norm once per ROW instead of once per PAIR (bit-identical values:
+    same fold, same order, evaluated on the row side of the join)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with caller-precomputed :func:`l2_norm` columns —
+    one interpreted array fold per pair (the dot) instead of three."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
 def char_bag_distance(a: Column, b: Column) -> Column:
     """Multiset symmetric-difference count between two strings' characters
     (F4) — the reference's name-matching distance

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine
+from ..functions.similarity import cosine_with_norms, l2_norm
 
 
 def brute_force_topk(
@@ -38,11 +38,21 @@ def brute_force_topk(
 
     Ties broken by c_id for determinism. The cross join is the exact
     baseline — O(|Q|·|C|), use only when one side is small/broadcastable.
+    Norms fold once per ROW before the join (bit-identical values, one
+    array fold per pair instead of three).
     """
-    q = queries.select(F.col(q_id).alias("q_id"), F.col(vec).alias("_qv"))
-    c = corpus.select(F.col(c_id).alias("c_id"), F.col(vec).alias("_cv"))
+    q = queries.select(
+        F.col(q_id).alias("q_id"), F.col(vec).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(c_id).alias("c_id"), F.col(vec).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     scored = q.crossJoin(c).select(
-        "q_id", "c_id", F.round(cosine(F.col("_qv"), F.col("_cv")), 9).alias("cosine")
+        "q_id",
+        "c_id",
+        F.round(
+            cosine_with_norms(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 9
+        ).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -135,8 +145,12 @@ def ivf_build(
 
 
 def _assign(c: DataFrame, centroids: DataFrame) -> DataFrame:
-    scored = c.crossJoin(F.broadcast(centroids)).select(
-        "c_id", "centroid_id", cosine(F.col("vec"), F.col("cvec")).alias("_s")
+    cn = c.withColumn("_vn", l2_norm(F.col("vec")))
+    ct = centroids.withColumn("_cn", l2_norm(F.col("cvec")))
+    scored = cn.crossJoin(F.broadcast(ct)).select(
+        "c_id",
+        "centroid_id",
+        cosine_with_norms(F.col("vec"), F.col("cvec"), F.col("_vn"), F.col("_cn")).alias("_s"),
     )
     w = Window.partitionBy("c_id").orderBy(F.desc("_s"), F.asc("centroid_id"))
     return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1).select("c_id", "centroid_id")
@@ -159,15 +173,29 @@ def ivf_search(
     ``round_digits`` sets the cosine precision BEFORE ranking (ties broken
     by c_id), so results are rank-comparable with a baseline computed at
     the same precision (e.g. the round-6 brute-force oracle)."""
-    q = queries.select(F.col(q_id).alias("q_id"), F.col(vec).alias("_qv"))
-    qprobe = q.crossJoin(F.broadcast(centroids)).select(
-        "q_id", "_qv", "centroid_id", cosine(F.col("_qv"), F.col("cvec")).alias("_cs")
+    q = queries.select(F.col(q_id).alias("q_id"), F.col(vec).alias("_qv")).withColumn(
+        "_qn", l2_norm(F.col("_qv"))
+    )
+    ct = centroids.withColumn("_ctn", l2_norm(F.col("cvec")))
+    qprobe = q.crossJoin(F.broadcast(ct)).select(
+        "q_id",
+        "_qv",
+        "_qn",
+        "centroid_id",
+        cosine_with_norms(F.col("_qv"), F.col("cvec"), F.col("_qn"), F.col("_ctn")).alias("_cs"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
-    qprobe = qprobe.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe).select("q_id", "_qv", "centroid_id")
-    cc = corpus.select(F.col(c_id).alias("c_id"), F.col(vec).alias("_cv")).join(assignments, "c_id")
+    qprobe = qprobe.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= nprobe).select("q_id", "_qv", "_qn", "centroid_id")
+    cc = corpus.select(F.col(c_id).alias("c_id"), F.col(vec).alias("_cv")).join(
+        assignments, "c_id"
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     scored = qprobe.join(cc, "centroid_id").select(
-        "q_id", "c_id", F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cosine")
+        "q_id",
+        "c_id",
+        F.round(
+            cosine_with_norms(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+            round_digits,
+        ).alias("cosine"),
     )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
